@@ -1,0 +1,45 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-device sharding tests run without TPUs via
+XLA_FLAGS=--xla_force_host_platform_device_count=8 (SURVEY.md §4). x64 is
+enabled so geometry round-trip identities can be asserted at the reference's
+float64 tolerances (FreiHand.py:597,614,619).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The environment's sitecustomize imports jax at interpreter start with
+# JAX_PLATFORMS=axon already set, so the env var alone is not enough here.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(20260816)
+
+
+@pytest.fixture
+def freihand_like_sample(rng):
+    """A synthetic FreiHAND-like sample: plausible K and a hand-sized joint
+    cloud in front of the camera (FreiHAND images are 224x224 with
+    fx,fy ~ 530)."""
+    K = np.array(
+        [[531.9, 0.0, 112.0], [0.0, 532.2, 112.0], [0.0, 0.0, 1.0]]
+    )
+    # hand ~8cm across, ~0.5m from the camera, near the optical axis
+    center = np.array([0.01, -0.005, 0.47])
+    joints = center + rng.uniform(-0.04, 0.04, size=(21, 3))
+    return {"K": K, "joint_cam": joints}
