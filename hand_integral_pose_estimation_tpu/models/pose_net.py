@@ -1,0 +1,86 @@
+"""Integral pose network: ResNet backbone + deconv head -> 3D heatmaps.
+
+Capability equivalent of the reference pose model (main/model.py:5-78):
+3x (4x4 stride-2 transposed conv -> BN -> ReLU), 2048->256->256->256, then a
+1x1 conv to `num_joints * depth_dim` channels — a (B, 56, 56, 21*56) NHWC 3D
+heatmap (channel = joint*depth + d), decoded by ops/integral.py.
+
+Init matches the reference (model.py:46-56): deconv/final weights ~ N(0,
+0.001), BN scale 1 / bias 0, final bias 0.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax.nn.initializers import normal, zeros
+
+from hand_integral_pose_estimation_tpu.config import ModelConfig
+from hand_integral_pose_estimation_tpu.models.resnet import (
+    ResNetBackbone,
+    _Norm,
+)
+from hand_integral_pose_estimation_tpu.ops.integral import softmax_integral
+
+
+class DeconvHead(nn.Module):
+    """3-layer transposed-conv upsampler + 1x1 heatmap projection
+    (main/model.py:22-44)."""
+
+    num_joints: int = 21
+    depth_dim: int = 56
+    channels: int = 256
+    num_layers: int = 3
+    dtype: Any = jnp.float32
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i in range(self.num_layers):
+            # 4x4 stride-2 transposed conv, SAME padding == torch's
+            # (k=4, s=2, p=1): exact 2x upsample
+            x = nn.ConvTranspose(
+                self.channels, (4, 4), strides=(2, 2), padding="SAME",
+                use_bias=False, dtype=self.dtype,
+                kernel_init=normal(stddev=0.001),
+                name=f"deconv{i}")(x)
+            x = _Norm(self.dtype, self.bn_axis_name, train)(x)
+            x = nn.relu(x)
+        x = nn.Conv(self.num_joints * self.depth_dim, (1, 1),
+                    dtype=self.dtype,
+                    kernel_init=normal(stddev=0.001), bias_init=zeros,
+                    name="final")(x)
+        return x
+
+
+class ResPoseNet(nn.Module):
+    """backbone ∘ head (main/model.py:58-67). Returns NHWC heatmap logits."""
+
+    cfg: ModelConfig = ModelConfig()
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dtype = jnp.dtype(self.cfg.compute_dtype)
+        x = x.astype(dtype)
+        feats = ResNetBackbone(self.cfg.resnet_type, dtype,
+                               self.bn_axis_name, name="backbone")(
+                                   x, train=train)
+        hm = DeconvHead(self.cfg.num_joints, self.cfg.depth_dim,
+                        self.cfg.deconv_channels, self.cfg.num_deconv_layers,
+                        dtype, self.bn_axis_name, name="head")(
+                            feats, train=train)
+        return hm
+
+    def decode(self, heatmap, impl: str = "auto"):
+        """Heatmap -> (B, J, 3) normalised coords (fused soft-argmax)."""
+        return softmax_integral(heatmap, self.cfg.num_joints,
+                                self.cfg.depth_dim, impl=impl)
+
+
+def get_pose_net(cfg: ModelConfig | None = None,
+                 bn_axis_name: Optional[str] = None) -> ResPoseNet:
+    """Factory mirroring the reference's `get_pose_net` (main/model.py:69)."""
+    return ResPoseNet(cfg=cfg or ModelConfig(), bn_axis_name=bn_axis_name)

@@ -1,0 +1,169 @@
+"""ResNet backbones (18/34/50/101/152) in flax, NHWC, TPU-first.
+
+Capability equivalent of the reference backbone (common/nets/resnet.py:8-76,
+torchvision-style blocks) with the same architectural contract: stride-32
+feature map, no avgpool/fc, 2048 channels for R50+. Differences by design:
+
+  * NHWC layout + configurable compute dtype (bfloat16 on the MXU, float32
+    params) instead of NCHW float32;
+  * optional cross-replica BatchNorm axis (the reference's DataParallel uses
+    per-replica statistics — `bn_axis_name=None` reproduces that);
+  * `frozen_stages` / `norm_eval` support the detector's frozen-BN contract
+    (lib/model_rcnn/faster_rcnn/resnet.py:261-284);
+  * init: conv weights ~ N(0, 0.001), BN scale=1 bias=0, matching the
+    reference's scratch init (resnet.py:32-38).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax.nn.initializers import normal
+
+RESNET_SPECS = {
+    18: ("basic", (2, 2, 2, 2)),
+    34: ("basic", (3, 4, 6, 3)),
+    50: ("bottleneck", (3, 4, 6, 3)),
+    101: ("bottleneck", (3, 4, 23, 3)),
+    152: ("bottleneck", (3, 8, 36, 3)),
+}
+
+_conv_init = normal(stddev=0.001)
+
+
+class _Norm(nn.Module):
+    """BatchNorm with optional cross-replica stat sync and freeze."""
+
+    dtype: Any = jnp.float32
+    axis_name: Optional[str] = None
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.BatchNorm(
+            use_running_average=not self.train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            axis_name=self.axis_name if self.train else None,
+        )(x)
+
+
+class BasicBlock(nn.Module):
+    filters: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        y = nn.Conv(self.filters, (3, 3), strides=(self.stride, self.stride),
+                    padding=1, use_bias=False, dtype=self.dtype,
+                    kernel_init=_conv_init)(x)
+        y = _Norm(self.dtype, self.bn_axis_name, train)(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.filters, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, kernel_init=_conv_init)(y)
+        y = _Norm(self.dtype, self.bn_axis_name, train)(y)
+        if residual.shape != y.shape:
+            residual = nn.Conv(self.filters, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype,
+                               kernel_init=_conv_init)(x)
+            residual = _Norm(self.dtype, self.bn_axis_name, train)(residual)
+        return nn.relu(y + residual)
+
+
+class Bottleneck(nn.Module):
+    filters: int          # bottleneck width; output channels = 4x
+    stride: int = 1
+    dtype: Any = jnp.float32
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        y = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype,
+                    kernel_init=_conv_init)(x)
+        y = _Norm(self.dtype, self.bn_axis_name, train)(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.filters, (3, 3), strides=(self.stride, self.stride),
+                    padding=1, use_bias=False, dtype=self.dtype,
+                    kernel_init=_conv_init)(y)
+        y = _Norm(self.dtype, self.bn_axis_name, train)(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.filters * 4, (1, 1), use_bias=False,
+                    dtype=self.dtype, kernel_init=_conv_init)(y)
+        y = _Norm(self.dtype, self.bn_axis_name, train)(y)
+        if residual.shape != y.shape:
+            residual = nn.Conv(self.filters * 4, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype,
+                               kernel_init=_conv_init)(x)
+            residual = _Norm(self.dtype, self.bn_axis_name, train)(residual)
+        return nn.relu(y + residual)
+
+
+class ResNetBackbone(nn.Module):
+    """Stride-32 feature extractor: (B, H, W, 3) -> (B, H/32, W/32, C_out).
+
+    `num_stages` trims the tail: the Faster R-CNN C4 split uses
+    `num_stages=3` as the base (output stride 16, layer3 features) and
+    :class:`ResNetStage4` as the head-to-tail (resnet.py:229-288).
+    """
+
+    resnet_type: int = 50
+    dtype: Any = jnp.float32
+    bn_axis_name: Optional[str] = None
+    num_stages: int = 4
+    stage_strides: Tuple[int, int, int, int] = (1, 2, 2, 2)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        block_name, layers = RESNET_SPECS[self.resnet_type]
+        block = BasicBlock if block_name == "basic" else Bottleneck
+        widths = (64, 128, 256, 512)
+
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    dtype=self.dtype, kernel_init=_conv_init,
+                    name="conv1")(x)
+        x = _Norm(self.dtype, self.bn_axis_name, train)(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        for stage in range(self.num_stages):
+            for i in range(layers[stage]):
+                stride = self.stage_strides[stage] if i == 0 else 1
+                x = block(widths[stage], stride, self.dtype,
+                          self.bn_axis_name,
+                          name=f"layer{stage + 1}_{i}")(x, train=train)
+        return x
+
+    @property
+    def out_channels(self) -> int:
+        block_name, _ = RESNET_SPECS[self.resnet_type]
+        mult = 1 if block_name == "basic" else 4
+        return 512 * mult if self.num_stages == 4 else 256 * mult
+
+
+class ResNetStage4(nn.Module):
+    """Stage-4 ("layer4") alone — the detector's `_head_to_tail`
+    (lib/model_rcnn/faster_rcnn/resnet.py:285-288)."""
+
+    resnet_type: int = 101
+    dtype: Any = jnp.float32
+    bn_axis_name: Optional[str] = None
+    stride: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        block_name, layers = RESNET_SPECS[self.resnet_type]
+        block = BasicBlock if block_name == "basic" else Bottleneck
+        for i in range(layers[3]):
+            s = self.stride if i == 0 else 1
+            x = block(512, s, self.dtype, self.bn_axis_name,
+                      name=f"layer4_{i}")(x, train=train)
+        return x
