@@ -130,6 +130,28 @@ def compute_patch_labels(joint_cam: jnp.ndarray, R: jnp.ndarray,
     )
 
 
+def compute_patch_labels_from_normalized(joint_cam_normalized: jnp.ndarray,
+                                         tprime: jnp.ndarray, R: jnp.ndarray,
+                                         K: jnp.ndarray, bbox: jnp.ndarray,
+                                         patch_width: int = 224,
+                                         patch_height: int = 224,
+                                         scale: float = 1.0) -> jnp.ndarray:
+    """Label for cached normalised-camera joints (teacher pseudo-GT) under a
+    new augmentation, matching `generate_patch_image_from_normalized`
+    (augment.py:415-446): project under (R, K), z = z_mm - tprime, apply the
+    crop transform, encode. Returns the encoded (N, 3) label."""
+    uv_s, z_s, _ = camera.project_points(joint_cam_normalized, R, K)
+    trans = transforms.trans_from_patch(
+        bbox[..., 0], bbox[..., 1], bbox[..., 2], bbox[..., 3],
+        patch_width, patch_height, scale=scale, inv=False,
+    )
+    uv_patch = transforms.transform_points_2d(uv_s, trans)
+    joint_patch = jnp.concatenate(
+        [uv_patch, (z_s - tprime[..., None])[..., None]], axis=-1
+    )
+    return encode_labels(joint_patch, patch_width, patch_height)
+
+
 def patch_label_to_camera(label: jnp.ndarray, trans_inv: jnp.ndarray,
                           tprime: jnp.ndarray, K: jnp.ndarray,
                           R: jnp.ndarray | None = None,

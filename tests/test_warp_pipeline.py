@@ -1,0 +1,175 @@
+"""On-device warp + preprocessing pipeline tests.
+
+The key end-to-end property (replacing cv2 visual checks): a bright dot
+painted at a joint's projected image location must land at that joint's
+patch-label position after the composed warp.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hand_integral_pose_estimation_tpu import geometry as geo
+from hand_integral_pose_estimation_tpu.config import AugmentConfig
+from hand_integral_pose_estimation_tpu.data import pipeline
+from hand_integral_pose_estimation_tpu.ops.warp import (
+    warp_perspective,
+    warp_perspective_batch,
+)
+
+
+def _np_warp(img, H, out_hw):
+    """Independent NumPy oracle: inverse-map bilinear, zero border."""
+    Ho, Wo = out_hw
+    Hi = np.linalg.inv(H)
+    out = np.zeros((Ho, Wo, img.shape[2]))
+    for y in range(Ho):
+        for x in range(Wo):
+            u, v, w = Hi @ np.array([x, y, 1.0])
+            sx, sy = u / w, v / w
+            x0, y0 = int(np.floor(sx)), int(np.floor(sy))
+            fx, fy = sx - x0, sy - y0
+            acc = np.zeros(img.shape[2])
+            for dy, wy in ((0, 1 - fy), (1, fy)):
+                for dx, wx in ((0, 1 - fx), (1, fx)):
+                    yy, xx = y0 + dy, x0 + dx
+                    if 0 <= yy < img.shape[0] and 0 <= xx < img.shape[1]:
+                        acc += wy * wx * img[yy, xx]
+            out[y, x] = acc
+    return out
+
+
+class TestWarp:
+    def test_identity(self, rng):
+        img = jnp.asarray(rng.rand(16, 16, 3))
+        out = warp_perspective(img, jnp.eye(3), (16, 16))
+        np.testing.assert_allclose(out, img, atol=1e-9)
+
+    def test_integer_translation(self, rng):
+        img = jnp.asarray(rng.rand(16, 16, 1))
+        H = jnp.asarray(np.array([[1, 0, 3], [0, 1, 2], [0, 0, 1.0]]))
+        out = warp_perspective(img, H, (16, 16))
+        np.testing.assert_allclose(out[2:, 3:], img[:-2, :-3], atol=1e-9)
+        np.testing.assert_allclose(out[:2], 0.0)  # zero border
+
+    def test_matches_numpy_oracle(self, rng):
+        img = rng.rand(20, 24, 3)
+        # mild random homography around identity
+        H = np.eye(3) + rng.randn(3, 3) * np.array(
+            [[0.05, 0.05, 2.0], [0.05, 0.05, 2.0], [1e-4, 1e-4, 0.0]])
+        out = warp_perspective(jnp.asarray(img), jnp.asarray(H), (12, 14))
+        want = _np_warp(img, H, (12, 14))
+        np.testing.assert_allclose(out, want, atol=1e-8)
+
+    def test_batch_matches_single(self, rng):
+        imgs = jnp.asarray(rng.rand(4, 16, 16, 3))
+        Hs = jnp.asarray(
+            np.stack([np.eye(3) + rng.randn(3, 3) * 0.02 for _ in range(4)]))
+        outs = warp_perspective_batch(imgs, Hs, (8, 8))
+        single = warp_perspective(imgs[2], Hs[2], (8, 8))
+        np.testing.assert_allclose(outs[2], single, atol=1e-12)
+
+    def test_jit_under_vmap(self, rng):
+        imgs = jnp.asarray(rng.rand(2, 16, 16, 3).astype(np.float32))
+        Hs = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (2, 3, 3))
+        f = jax.jit(lambda i, h: warp_perspective_batch(i, h, (16, 16)))
+        np.testing.assert_allclose(f(imgs, Hs), imgs, atol=1e-6)
+
+
+def _synthetic_sample(rng, B=3):
+    K = np.array([[531.9, 0.0, 112.0], [0.0, 532.2, 112.0], [0.0, 0.0, 1.0]])
+    joints = (np.array([0.0, 0.0, 0.45])
+              + rng.uniform(-0.035, 0.035, (B, 21, 3)))
+    imgs = rng.randint(0, 255, (B, 224, 224, 3)).astype(np.uint8)
+    return (jnp.asarray(imgs), jnp.asarray(joints),
+            jnp.broadcast_to(jnp.asarray(K), (B, 3, 3)))
+
+
+class TestPipeline:
+    def test_eval_batch_shapes_and_roundtrip(self, rng):
+        imgs, joints, K = _synthetic_sample(rng)
+        batch = pipeline.make_eval_batch(imgs, joints, K, None,
+                                         jnp.ones(3))
+        assert batch.image.shape == (3, 224, 224, 3)
+        assert batch.label.shape == (3, 21, 3)
+        # label decodes back to the normalised camera joints (R = I)
+        cam = geo.patch_label_to_camera(batch.label, batch.trans_inv,
+                                        batch.tprime, batch.K, batch.R)
+        np.testing.assert_allclose(cam, batch.joint_cam_normalized,
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_train_batch_label_roundtrip(self, rng):
+        imgs, joints, K = _synthetic_sample(rng)
+        batch = pipeline.make_train_batch(
+            jax.random.PRNGKey(3), imgs, joints, K, None,
+            jnp.array([True, False, True]), None, jnp.ones(3))
+        cam = geo.patch_label_to_camera(batch.label, batch.trans_inv,
+                                        batch.tprime, batch.K, batch.R)
+        np.testing.assert_allclose(cam, batch.joint_cam_normalized,
+                                   rtol=1e-5, atol=1e-6)
+        # un-normalise recovers the GT joints
+        z_root = jnp.einsum("bij,bj->bi", batch.R,
+                            batch.joint_cam[:, 9])[:, 2] * 1000.0
+        rec = cam * (z_root / batch.tprime)[:, None, None]
+        np.testing.assert_allclose(rec, batch.joint_cam, rtol=1e-5,
+                                   atol=1e-6)
+
+    def test_teacher_label_matches_gt_when_teacher_is_gt(self, rng):
+        imgs, joints, K = _synthetic_sample(rng)
+        b0 = pipeline.make_train_batch(
+            jax.random.PRNGKey(11), imgs, joints, K, None,
+            jnp.array([False] * 3), None, jnp.ones(3))
+        batch = pipeline.make_train_batch(
+            jax.random.PRNGKey(11), imgs, joints, K, None,
+            jnp.array([False] * 3),
+            teacher_cam_normalized=b0.joint_cam_normalized,
+            ref_bone_len=jnp.ones(3))
+        # same key -> same augmentation; teacher == GT normalised joints
+        # -> identical labels
+        np.testing.assert_allclose(batch.label_teacher, batch.label,
+                                   rtol=1e-6, atol=1e-8)
+
+    def test_dot_lands_at_label_position(self, rng):
+        """Paint a bright dot at joint 0's projected location; after the
+        composed warp it must appear at the label's patch position."""
+        K = jnp.asarray(
+            [[531.9, 0.0, 112.0], [0.0, 532.2, 112.0], [0.0, 0.0, 1.0]])
+        joints = jnp.asarray(np.array([0.0, 0.0, 0.45])
+                             + rng.uniform(-0.03, 0.03, (1, 21, 3)))
+        uv, _, _ = geo.project_points(joints[0], jnp.eye(3), K)
+        img = np.zeros((1, 224, 224, 3), np.float32)
+        ux, uy = int(round(float(uv[0, 0]))), int(round(float(uv[0, 1])))
+        img[0, uy, ux] = 1000.0
+
+        batch = pipeline.make_eval_batch(jnp.asarray(img), joints,
+                                         K[None], None, jnp.ones(1))
+        patch = np.asarray(batch.image[0].sum(-1))
+        py, px = np.unravel_index(patch.argmax(), patch.shape)
+        lab_xy = np.asarray(
+            geo.decode_labels(batch.label[0], 224, 224))[0, :2]
+        # dot was painted at integer pixel; allow the rounding + crop scale
+        assert abs(px - lab_xy[0]) < 3.0
+        assert abs(py - lab_xy[1]) < 3.0
+
+    def test_color_jitter_and_clip(self, rng):
+        imgs, joints, K = _synthetic_sample(rng)
+        batch = pipeline.make_train_batch(
+            jax.random.PRNGKey(0), imgs, joints, K, None,
+            jnp.array([True] * 3), None, jnp.ones(3))
+        img = np.asarray(batch.image)
+        assert img.min() >= 0.0 and img.max() <= 255.0
+        assert img.max() > 1.5  # 0..255 scale, not 0..1 (parity quirk)
+
+    def test_eval_batch_deterministic(self, rng):
+        imgs, joints, K = _synthetic_sample(rng)
+        b1 = pipeline.make_eval_batch(imgs, joints, K, None, jnp.ones(3))
+        b2 = pipeline.make_eval_batch(imgs, joints, K, None, jnp.ones(3))
+        np.testing.assert_array_equal(b1.image, b2.image)
+
+    def test_detector_bbox_path(self, rng):
+        imgs, joints, K = _synthetic_sample(rng)
+        bbox = jnp.asarray(np.tile([112.0, 112.0, 150.0, 150.0], (3, 1)))
+        batch = pipeline.make_eval_batch(imgs, joints, K, bbox, jnp.ones(3))
+        np.testing.assert_allclose(batch.bbox, bbox)
+        np.testing.assert_allclose(
+            batch.tprime, 100.0 * K[0, 0, 0] / 150.0, rtol=1e-6)
