@@ -1,0 +1,205 @@
+"""Headline benchmark: FreiHAND end-to-end inference images/sec/chip.
+
+Measures BASELINE config #2 — batched on-device crop/normalise -> ResNet-50
+backbone + deconv head -> fused Pallas soft-argmax — on the attached TPU
+chip, and compares against a cached CPU reference measurement of the
+equivalent torch pipeline (per-sample cv2 double-warp preprocessing + torch
+float32 ResNet-50 forward + softmax-integral decode), which stands in for the
+reference implementation's CPU throughput (its published hardware is GPU but
+the driver baseline is CPU-reference; see BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      ".bench_cpu_baseline.json")
+BATCH = 32
+STEPS = 20
+
+
+def measure_tpu() -> float:
+    """Chained on-device loop (data dependency between iterations), timed at
+    two loop lengths and differenced — this cancels the per-call RPC latency
+    of the axon tunnel AND defeats its identical-computation result caching
+    (a single queued-dispatch loop measures neither)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from hand_integral_pose_estimation_tpu.config import Config
+    from hand_integral_pose_estimation_tpu.data import pipeline
+    from hand_integral_pose_estimation_tpu.models import get_pose_net
+
+    cfg = Config()
+    net = get_pose_net(cfg.model)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(
+        rng.randint(0, 255, (BATCH, 224, 224, 3)).astype(np.float32))
+    K = jnp.broadcast_to(
+        jnp.asarray([[531.9, 0, 112.0], [0, 532.2, 112.0], [0, 0, 1.0]],
+                    jnp.float32), (BATCH, 3, 3))
+    joints = jnp.asarray(
+        (np.array([0, 0, 0.45]) + rng.uniform(-0.03, 0.03, (BATCH, 21, 3))
+         ).astype(np.float32))
+    ref_len = jnp.ones((BATCH,), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
+
+    @functools.partial(jax.jit, static_argnums=(6,))
+    def e2e_loop(params, batch_stats, images, joints, K, ref_len, n):
+        def body(i, imgs):
+            batch = pipeline.make_eval_batch(imgs, joints, K, None, ref_len,
+                                             cfg.augment,
+                                             cfg.model.input_shape)
+            hm = net.apply({"params": params, "batch_stats": batch_stats},
+                           batch.image, train=False)
+            coords = net.decode(hm, impl="auto")
+            # data dependency: next iteration's input depends on this output
+            return imgs + 1e-9 * jnp.sum(coords)
+        return jax.lax.fori_loop(0, n, body, images)
+
+    args = (variables["params"], variables["batch_stats"], images, joints,
+            K, ref_len)
+
+    def timed(n, reps=3):
+        _ = np.asarray(e2e_loop(*args, n)[0, 0, 0])  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = e2e_loop(*args, n)
+            _ = np.asarray(out[0, 0, 0])             # force completion
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_short = timed(1)
+    t_long = timed(1 + STEPS)
+    per_batch = (t_long - t_short) / STEPS
+    return BATCH / per_batch
+
+
+def measure_cpu_reference() -> float:
+    """Equivalent pipeline the reference way: per-sample cv2 double warp +
+    torch CPU ResNet-50+deconv forward + softmax-integral decode."""
+    import cv2
+    import torch
+    import torch.nn as nn
+
+    torch.set_num_threads(os.cpu_count() or 8)
+
+    class Bottleneck(nn.Module):
+        def __init__(self, cin, width, stride=1):
+            super().__init__()
+            cout = width * 4
+            self.conv1 = nn.Conv2d(cin, width, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(width)
+            self.conv2 = nn.Conv2d(width, width, 3, stride, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(width)
+            self.conv3 = nn.Conv2d(width, cout, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(cout)
+            self.relu = nn.ReLU(inplace=True)
+            self.down = None
+            if stride != 1 or cin != cout:
+                self.down = nn.Sequential(
+                    nn.Conv2d(cin, cout, 1, stride, bias=False),
+                    nn.BatchNorm2d(cout))
+
+        def forward(self, x):
+            idn = self.down(x) if self.down is not None else x
+            y = self.relu(self.bn1(self.conv1(x)))
+            y = self.relu(self.bn2(self.conv2(y)))
+            y = self.bn3(self.conv3(y))
+            return self.relu(y + idn)
+
+    def make_r50_posenet():
+        layers = []
+        layers += [nn.Conv2d(3, 64, 7, 2, 3, bias=False),
+                   nn.BatchNorm2d(64), nn.ReLU(inplace=True),
+                   nn.MaxPool2d(3, 2, 1)]
+        cin = 64
+        for stage, (width, n, stride) in enumerate(
+                [(64, 3, 1), (128, 4, 2), (256, 6, 2), (512, 3, 2)]):
+            for i in range(n):
+                layers.append(Bottleneck(cin, width, stride if i == 0 else 1))
+                cin = width * 4
+        # deconv head
+        for _ in range(3):
+            layers += [nn.ConvTranspose2d(cin, 256, 4, 2, 1, bias=False),
+                       nn.BatchNorm2d(256), nn.ReLU(inplace=True)]
+            cin = 256
+        layers.append(nn.Conv2d(256, 21 * 56, 1))
+        return nn.Sequential(*layers)
+
+    net = make_r50_posenet().eval()
+
+    rng = np.random.RandomState(0)
+    B = 8
+    imgs = rng.randint(0, 255, (B, 224, 224, 3)).astype(np.uint8)
+    K = np.array([[531.9, 0, 112.0], [0, 532.2, 112.0], [0, 0, 1.0]])
+    R = np.eye(3)
+
+    def preprocess(img):
+        # the reference's two warpPerspective passes (augment.py:371,409)
+        homo = K @ R @ np.linalg.inv(K)
+        w1 = cv2.warpPerspective(img, homo, (224, 224))
+        trans = np.array([[224 / 150.0, 0, -(112 - 75) * 224 / 150.0],
+                          [0, 224 / 150.0, -(112 - 75) * 224 / 150.0],
+                          [0, 0, 1.0]])
+        patch = cv2.warpPerspective(w1, trans, (224, 224),
+                                    flags=cv2.INTER_LINEAR)
+        return patch[:, :, ::-1].astype(np.float32)
+
+    def integral(hm):
+        hm = hm.reshape(B, 21, 56 * 56 * 56)
+        p = torch.softmax(hm, dim=2).reshape(B, 21, 56, 56, 56)
+        idx = torch.arange(56, dtype=torch.float32)
+        z = (p.sum(dim=(3, 4)) * idx).sum(-1)
+        y = (p.sum(dim=(2, 4)) * idx).sum(-1)
+        x = (p.sum(dim=(2, 3)) * idx).sum(-1)
+        return torch.stack([x, y, z], -1)
+
+    def run_once():
+        patches = np.stack([preprocess(im) for im in imgs])
+        t = torch.from_numpy(patches.transpose(0, 3, 1, 2).copy())
+        t = t - torch.tensor([0.4559, 0.5142, 0.5148]).view(1, 3, 1, 1)
+        with torch.no_grad():
+            hm = net(t)
+            coords = integral(hm)
+        return coords
+
+    run_once()  # warmup
+    t0 = time.perf_counter()
+    n = 3
+    for _ in range(n):
+        run_once()
+    dt = (time.perf_counter() - t0) / n
+    return B / dt
+
+
+def main():
+    force_cpu = "--cpu-baseline" in sys.argv
+    if force_cpu or not os.path.exists(_CACHE):
+        cpu_ips = measure_cpu_reference()
+        with open(_CACHE, "w") as f:
+            json.dump({"cpu_images_per_sec": cpu_ips,
+                       "batch": 8, "note": "torch CPU R50 posenet + cv2 "
+                       "double-warp preprocess + integral decode"}, f)
+    with open(_CACHE) as f:
+        cpu_ips = json.load(f)["cpu_images_per_sec"]
+
+    tpu_ips = measure_tpu()
+    print(json.dumps({
+        "metric": "freihand_e2e_inference_images_per_sec_per_chip",
+        "value": round(tpu_ips, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(tpu_ips / cpu_ips, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

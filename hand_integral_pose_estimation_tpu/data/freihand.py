@@ -1,0 +1,205 @@
+"""FreiHAND dataset model: annotations, versions, splits, host batch feed.
+
+Capability equivalent of data/FreiHand/FreiHand.py:16-485 (annotation loading,
+version handling, split membership, labelled/unlabelled marking, biased batch
+sampling) with the per-sample cv2 work moved on-device (data/pipeline.py).
+The host side only decodes JPEGs and stacks fixed-shape numpy batches.
+
+Split contract preserved exactly (quirks included):
+  * 4 image versions gs/hom/sample/auto x 32 560 unique samples
+    (FreiHand.py:16-19,376);
+  * train = idx [0, 26050); test = idx [26051, 26051+3254) — note the
+    reference's off-by-one start at `db_size+1` and span of `testing_size-1`
+    (FreiHand.py:417-419);
+  * labelled = idx < 3256, all versions (config.py:51-56);
+  * biased sampling: labelled with prob 0.5 (dataset.py:89-105).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Iterator, Optional
+
+import numpy as np
+
+from hand_integral_pose_estimation_tpu.config import Config, FreiHandJoints
+
+VERSIONS = ("gs", "hom", "sample", "auto")
+DB_SIZE = 32560  # unique training samples (FreiHand.py:173)
+
+
+def version_map_id(idx: int, version: str) -> int:
+    """Sample index -> image file id (FreiHand.py:164-166)."""
+    return idx + DB_SIZE * VERSIONS.index(version)
+
+
+@dataclasses.dataclass
+class SampleRecord:
+    img_path: str
+    K: np.ndarray                 # (3, 3)
+    joint_cam: np.ndarray         # (21, 3)
+    ref_bone_len: float
+    labelled: bool
+    version: str
+    idx: int
+    detector_bbox: Optional[np.ndarray] = None       # (4,) cx,cy,w,h
+    teacher_cam_normalized: Optional[np.ndarray] = None
+    teacher_tprime: Optional[float] = None
+
+
+class FreiHandDataset:
+    """Annotation-backed dataset (requires the FreiHAND download on disk)."""
+
+    def __init__(self, data_dir: str, data_split: str = "training",
+                 cfg: Config = Config()):
+        self.data_dir = data_dir
+        self.data_split = data_split
+        self.cfg = cfg
+        self.joint_num = FreiHandJoints.num_joints
+        self.records: list[SampleRecord] = []
+        self._load()
+
+    # -- annotation loading (FreiHand.py:214-239) --------------------------
+    def _load_annotations(self):
+        base = self.data_dir
+        with open(os.path.join(base, "training_K.json")) as f:
+            K_list = json.load(f)
+        with open(os.path.join(base, "training_xyz.json")) as f:
+            xyz_list = json.load(f)
+        with open(os.path.join(base, "training_scale.json")) as f:
+            scale_list = json.load(f)
+        assert len(K_list) == len(xyz_list) == len(scale_list)
+        return K_list, xyz_list, scale_list
+
+    def _split_range(self):
+        t = self.cfg.train
+        if self.data_split == "training":
+            return 0, t.training_size
+        if self.data_split == "testing":
+            # reference quirk: start at training_size + 1, span size - 1
+            start = t.training_size + 1
+            return start, start + t.testing_size - 1
+        raise ValueError(self.data_split)
+
+    def _load(self):
+        K_list, xyz_list, scale_list = self._load_annotations()
+        start, end = self._split_range()
+        lab_range = self.cfg.train.labelled_data_range
+        for version in VERSIONS:
+            for idx in range(start, end):
+                file_id = version_map_id(idx, version)
+                img_path = os.path.join(self.data_dir, "training", "rgb",
+                                        f"{file_id:08d}.jpg")
+                self.records.append(SampleRecord(
+                    img_path=img_path,
+                    K=np.asarray(K_list[idx], np.float64),
+                    joint_cam=np.asarray(xyz_list[idx], np.float64),
+                    ref_bone_len=float(scale_list[idx]),
+                    labelled=(idx < lab_range),
+                    version=version,
+                    idx=idx,
+                ))
+        # labelled records first (FreiHand.py:472)
+        self.records.sort(key=lambda r: r.labelled, reverse=True)
+        self.num_labelled = sum(r.labelled for r in self.records)
+        self.num_unlabelled = len(self.records) - self.num_labelled
+
+    def __len__(self):
+        return len(self.records)
+
+    def read_image(self, rec: SampleRecord) -> np.ndarray:
+        import cv2
+        img = cv2.imread(rec.img_path,
+                         cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION)
+        return img[:, :, ::-1]  # BGR -> RGB; pipeline consumes RGB
+
+    # -- biased batch sampling (dataset.py:89-105) --------------------------
+    def sample_indices(self, rng: np.random.RandomState, batch_size: int,
+                       labelled_prob: Optional[float] = None) -> np.ndarray:
+        p = (self.cfg.train.labelled_selection_prob
+             if labelled_prob is None else labelled_prob)
+        pick_lab = rng.random_sample(batch_size) < p
+        idx = np.where(
+            pick_lab,
+            rng.randint(0, max(self.num_labelled, 1), batch_size),
+            self.num_labelled + rng.randint(
+                0, max(self.num_unlabelled, 1), batch_size),
+        )
+        return idx
+
+    def host_batch(self, indices: np.ndarray) -> dict:
+        recs = [self.records[i] for i in indices]
+        return stack_host_batch(recs, [self.read_image(r) for r in recs])
+
+
+def stack_host_batch(recs: list[SampleRecord],
+                     images: list[np.ndarray]) -> dict:
+    """Fixed-shape numpy arrays ready for device_put + pipeline."""
+    B = len(recs)
+    has_det = all(r.detector_bbox is not None for r in recs)
+    has_teacher = all(r.teacher_cam_normalized is not None for r in recs)
+    return {
+        "image": np.stack(images).astype(np.uint8),
+        "joint_cam": np.stack([r.joint_cam for r in recs]).astype(np.float32),
+        "K": np.stack([r.K for r in recs]).astype(np.float32),
+        "ref_bone_len": np.asarray([r.ref_bone_len for r in recs],
+                                   np.float32),
+        "labelled": np.asarray([r.labelled for r in recs], bool),
+        "bbox_detector": (np.stack([r.detector_bbox for r in recs])
+                          .astype(np.float32) if has_det else None),
+        "teacher_cam_normalized": (
+            np.stack([r.teacher_cam_normalized for r in recs])
+            .astype(np.float32) if has_teacher else None),
+    }
+
+
+class SyntheticFreiHand:
+    """Synthetic stand-in with the same host-batch contract — used for smoke
+    tests and benchmarking when the FreiHAND download is absent."""
+
+    def __init__(self, n: int = 256, image_hw=(224, 224), seed: int = 0,
+                 labelled_fraction: float = 0.5):
+        rng = np.random.RandomState(seed)
+        self.n = n
+        H, W = image_hw
+        self.images = rng.randint(0, 255, (n, H, W, 3)).astype(np.uint8)
+        self.K = np.tile(
+            np.array([[531.9, 0, W / 2], [0, 532.2, H / 2], [0, 0, 1.0]],
+                     np.float32), (n, 1, 1))
+        center = np.array([0.0, 0.0, 0.45])
+        self.joint_cam = (center
+                          + rng.uniform(-0.035, 0.035, (n, 21, 3))
+                          ).astype(np.float32)
+        self.ref_bone_len = np.linalg.norm(
+            self.joint_cam[:, 9] - self.joint_cam[:, 10], axis=-1)
+        self.labelled = rng.random_sample(n) < labelled_fraction
+        self.num_labelled = int(self.labelled.sum())
+        self.num_unlabelled = n - self.num_labelled
+
+    def __len__(self):
+        return self.n
+
+    def sample_indices(self, rng: np.random.RandomState, batch_size: int,
+                       labelled_prob: Optional[float] = None) -> np.ndarray:
+        return rng.randint(0, self.n, batch_size)
+
+    def host_batch(self, indices: np.ndarray) -> dict:
+        i = np.asarray(indices)
+        return {
+            "image": self.images[i],
+            "joint_cam": self.joint_cam[i],
+            "K": self.K[i],
+            "ref_bone_len": self.ref_bone_len[i],
+            "labelled": self.labelled[i],
+            "bbox_detector": None,
+            "teacher_cam_normalized": None,
+        }
+
+
+def batch_iterator(dataset, batch_size: int, steps: int,
+                   seed: int = 0) -> Iterator[dict]:
+    rng = np.random.RandomState(seed)
+    for _ in range(steps):
+        yield dataset.host_batch(dataset.sample_indices(rng, batch_size))

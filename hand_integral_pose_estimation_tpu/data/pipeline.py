@@ -29,7 +29,7 @@ from hand_integral_pose_estimation_tpu.geometry import (
     rotation,
     transforms,
 )
-from hand_integral_pose_estimation_tpu.ops.warp import warp_perspective
+from hand_integral_pose_estimation_tpu.ops.warp import warp_perspective_batch
 
 
 class Batch(NamedTuple):
@@ -70,8 +70,11 @@ def _resolve_bbox(joint_cam, R, K, bbox_detector, pad_factor):
                                         pad_factor=pad_factor)
 
 
-def _process_one(img, jc, Ki, bb_det, teacher_jcn, R, color_scale,
-                 acfg: AugmentConfig, patch_hw, jitter: bool):
+def _labels_one(jc, Ki, bb_det, teacher_jcn, R,
+                acfg: AugmentConfig, patch_hw):
+    """Per-sample label/geometry pass (vmapped); the image warp itself runs
+    batched outside (warp_perspective_batch picks matmul-based resampling on
+    TPU, where XLA gathers are slow)."""
     ph, pw = patch_hw
     bb = _resolve_bbox(jc, R, Ki, bb_det, acfg.pad_factor)
     out = lbl.compute_patch_labels(
@@ -80,10 +83,6 @@ def _process_one(img, jc, Ki, bb_det, teacher_jcn, R, color_scale,
     )
     # one composed homography: image -> rotated image -> patch
     H_total = out.trans @ transforms.rotation_homography(Ki, R)
-    patch = warp_perspective(img.astype(jnp.float32), H_total, (ph, pw))
-    if not jitter:
-        color_scale = jnp.ones(3, jnp.float32)
-    patch = _normalise(patch, color_scale.astype(patch.dtype), acfg)
 
     if teacher_jcn is None:
         label_teacher = jnp.zeros_like(out.label)
@@ -94,7 +93,7 @@ def _process_one(img, jc, Ki, bb_det, teacher_jcn, R, color_scale,
         label_teacher = lbl.compute_patch_labels_from_normalized(
             teacher_jcn, out.tprime, R, Ki, bb,
             patch_width=pw, patch_height=ph, scale=acfg.scale)
-    return patch, out, label_teacher, bb
+    return out, label_teacher, bb, H_total
 
 
 def make_train_batch(rng: jax.Array, images: jnp.ndarray,
@@ -127,22 +126,26 @@ def make_train_batch(rng: jax.Array, images: jnp.ndarray,
     B = images.shape[0]
     keys = jax.random.split(rng, 2 * B).reshape(B, 2, 2)
 
-    def per_sample(img, jc, Ki, bb_det, teacher_jcn, ks):
+    def per_sample(jc, Ki, bb_det, teacher_jcn, ks):
         R = rotation.sample_rotation_matrix(
             ks[0], acfg.rot_prob, acfg.z_rot_range,
             acfg.arbitrary_rot_range).astype(Ki.dtype)
         color = rotation.sample_color_scale(ks[1], acfg.color_factor)
-        patch, out, label_teacher, bb = _process_one(
-            img, jc, Ki, bb_det, teacher_jcn, R, color, acfg, patch_hw,
-            jitter=True)
-        return patch, out, label_teacher, R, bb
+        out, label_teacher, bb, H_total = _labels_one(
+            jc, Ki, bb_det, teacher_jcn, R, acfg, patch_hw)
+        return out, label_teacher, R, bb, H_total, color
 
-    in_axes = (0, 0, 0,
+    in_axes = (0, 0,
                None if bbox_detector is None else 0,
                None if teacher_cam_normalized is None else 0,
                0)
-    patch, out, label_teacher, R, bb = jax.vmap(per_sample, in_axes=in_axes)(
-        images, joint_cam, K, bbox_detector, teacher_cam_normalized, keys)
+    out, label_teacher, R, bb, H_total, color = jax.vmap(
+        per_sample, in_axes=in_axes)(
+        joint_cam, K, bbox_detector, teacher_cam_normalized, keys)
+
+    patch = warp_perspective_batch(images.astype(jnp.float32),
+                                   H_total, patch_hw)
+    patch = _normalise(patch, color[:, None, None, :], acfg)
 
     J = joint_cam.shape[1]
     return Batch(
@@ -171,16 +174,19 @@ def make_eval_batch(images: jnp.ndarray, joint_cam: jnp.ndarray,
     """Deterministic test/eval batch: R = I, no jitter (dataset.py:115)."""
     B, J = joint_cam.shape[0], joint_cam.shape[1]
 
-    def per_sample(img, jc, Ki, bb_det):
+    def per_sample(jc, Ki, bb_det):
         R = jnp.eye(3, dtype=Ki.dtype)
-        patch, out, _, bb = _process_one(
-            img, jc, Ki, bb_det, None, R, jnp.ones(3, jnp.float32),
-            acfg, patch_hw, jitter=False)
-        return patch, out, bb
+        out, _, bb, H_total = _labels_one(jc, Ki, bb_det, None, R,
+                                          acfg, patch_hw)
+        return out, bb, H_total
 
-    in_axes = (0, 0, 0, None if bbox_detector is None else 0)
-    patch, out, bb = jax.vmap(per_sample, in_axes=in_axes)(
-        images, joint_cam, K, bbox_detector)
+    in_axes = (0, 0, None if bbox_detector is None else 0)
+    out, bb, H_total = jax.vmap(per_sample, in_axes=in_axes)(
+        joint_cam, K, bbox_detector)
+
+    patch = warp_perspective_batch(images.astype(jnp.float32),
+                                   H_total, patch_hw)
+    patch = _normalise(patch, jnp.ones(3, patch.dtype), acfg)
 
     eye = jnp.broadcast_to(jnp.eye(3, dtype=K.dtype), (B, 3, 3))
     return Batch(

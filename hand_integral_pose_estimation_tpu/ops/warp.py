@@ -70,9 +70,83 @@ def warp_perspective(image: jnp.ndarray, H_mat: jnp.ndarray,
     return _bilinear_sample(image.astype(Hi.dtype), sx, sy)
 
 
+def warp_perspective_twopass(image: jnp.ndarray, H_mat: jnp.ndarray,
+                             out_hw: tuple[int, int],
+                             inverse: bool = False) -> jnp.ndarray:
+    """Exact homography warp as two separable 1D resamples (Catmull-Smith),
+    each a dense bilinear-weight matmul — no gathers, all MXU work. This is
+    the TPU-fast path: XLA's gather lowering makes :func:`warp_perspective`
+    ~50x slower on TPU, while two matmul passes run at memory speed.
+
+    Derivation (Hinv = dst->src, normalised so Hinv[2,2] = 1):
+      u(x', y') = (a x' + b y' + c) / (g x' + h y' + 1)
+      v(x', y') = (d x' + e y' + f) / (g x' + h y' + 1)
+    Pass A resamples every source row ys horizontally at
+      u*(x', ys) = u(x', yA)  with  yA = (ys g x' + ys - d x' - f)/(e - ys h)
+    (yA solves v(x', yA) = ys), giving tmp[ys, x'] = src[ys, u*].
+    Pass B resamples every intermediate column x' vertically at v*(x', y'),
+    giving out[y', x'] = tmp[v*, x'] = src(u(x',y'), v(x',y')) exactly.
+
+    Weights relu(1 - |coord - i|) reproduce 2-tap bilinear filtering and give
+    the zero border for out-of-range coordinates for free.
+
+    Filter note: for warps with cross-terms (rotations), two-pass bilinear is
+    a slightly different — equally valid — resampling filter than single-pass
+    bilinear (the horizontal taps are taken at the two neighbouring source
+    ROWS' own u*, not at the output pixel's u). It is exactly equal to
+    single-pass bilinear for axis-aligned affine warps (the 60% R == I case),
+    and agrees to first order on smooth images otherwise; the reference's own
+    double cv2 resample (rotation warp then crop warp) differs from a single
+    warp by the same class of filter difference.
+    """
+    Ho, Wo = out_hw
+    Hs, Ws = image.shape[0], image.shape[1]
+    Hi = H_mat if inverse else jnp.linalg.inv(H_mat)
+    Hi = Hi / Hi[2, 2]
+    a, b, c = Hi[0, 0], Hi[0, 1], Hi[0, 2]
+    d, e, f = Hi[1, 0], Hi[1, 1], Hi[1, 2]
+    g, h = Hi[2, 0], Hi[2, 1]
+    dt = jnp.promote_types(image.dtype, jnp.float32)
+
+    xo = jnp.arange(Wo, dtype=dt)[None, :]            # (1, Wo)
+    ys = jnp.arange(Hs, dtype=dt)[:, None]            # (Hs, 1)
+    yA = (ys * g * xo + ys - d * xo - f) / (e - ys * h)
+    denomA = g * xo + h * yA + 1.0
+    u_star = (a * xo + b * yA + c) / denomA           # (Hs, Wo)
+
+    xs = jnp.arange(Ws, dtype=dt)
+    Wa = jnp.maximum(0.0, 1.0 - jnp.abs(u_star[..., None] - xs))
+    # tmp[s, o, ch] = sum_i Wa[s, o, i] * img[s, i, ch]
+    tmp = jnp.einsum("soi,sic->soc", Wa, image.astype(dt),
+                     precision=jax.lax.Precision.HIGHEST)
+
+    yo = jnp.arange(Ho, dtype=dt)[:, None]            # (Ho, 1)
+    denomB = g * xo + h * yo + 1.0
+    v_star = (d * xo + e * yo + f) / denomB           # (Ho, Wo)
+    vs = jnp.arange(Hs, dtype=dt)
+    Wb = jnp.maximum(0.0, 1.0 - jnp.abs(v_star[..., None] - vs))  # (Ho,Wo,Hs)
+    out = jnp.einsum("yov,voc->yoc", Wb, tmp,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out
+
+
 def warp_perspective_batch(images: jnp.ndarray, H_mats: jnp.ndarray,
                            out_hw: tuple[int, int],
-                           inverse: bool = False) -> jnp.ndarray:
-    """(B, H, W, C) x (B, 3, 3) -> (B, Ho, Wo, C)."""
-    return jax.vmap(lambda im, h: warp_perspective(im, h, out_hw, inverse))(
-        images, H_mats)
+                           inverse: bool = False,
+                           method: str = "auto") -> jnp.ndarray:
+    """(B, H, W, C) x (B, 3, 3) -> (B, Ho, Wo, C).
+
+    method: "gather" (fast on CPU), "twopass" (fast on TPU — sequential scan
+    over the batch keeps the per-image weight tensors transient), or "auto".
+    """
+    if method == "auto":
+        on_tpu = any(dev.platform == "tpu" for dev in jax.devices())
+        method = "twopass" if on_tpu else "gather"
+    if method == "gather":
+        return jax.vmap(
+            lambda im, hm: warp_perspective(im, hm, out_hw, inverse)
+        )(images, H_mats)
+    return jax.lax.map(
+        lambda args: warp_perspective_twopass(args[0], args[1], out_hw,
+                                              inverse),
+        (images, H_mats))

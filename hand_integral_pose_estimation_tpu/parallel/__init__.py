@@ -1,0 +1,9 @@
+"""Mesh/sharding layer (replaces balanced_parallel.py's DP machinery)."""
+
+from hand_integral_pose_estimation_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    param_sharding_rules,
+    replicated,
+    shard_batch,
+)

@@ -1,0 +1,73 @@
+"""Device mesh + sharding helpers.
+
+The reference's only parallelism is single-process multi-GPU data parallelism
+via threaded module replication and torch.cuda.comm collectives
+(common/nets/balanced_parallel.py:16-183). On TPU that entire machinery is a
+sharding annotation: batches are sharded over a `data` mesh axis, params are
+replicated (or sharded over `model` for the wide heatmap projection), and XLA
+inserts the gradient psums over ICI. The custom autograd AllReduce/Reduce
+Functions (balanced_parallel.py:16-55) have no equivalent here because JAX
+collectives differentiate.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data_axis: str = "data", model_axis: str = "model",
+              model_parallelism: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """(data, model) mesh over all (or the given) devices.
+
+    `model_parallelism=1` reproduces the reference's pure-DP layout; larger
+    values shard the head's 1176-channel heatmap projection.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    assert n % model_parallelism == 0, (n, model_parallelism)
+    arr = np.array(devices).reshape(n // model_parallelism,
+                                    model_parallelism)
+    return Mesh(arr, (data_axis, model_axis))
+
+
+def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
+    """Leading-axis batch sharding (leaves of a Batch pytree)."""
+    return NamedSharding(mesh, P(data_axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch, data_axis: str = "data"):
+    """Device-put every leaf of a batch pytree with its batch dim sharded."""
+    s = batch_sharding(mesh, data_axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+
+
+def param_sharding_rules(mesh: Mesh, params,
+                         model_axis: str = "model"):
+    """Replicate everything except the final heatmap projection, whose output
+    channels (num_joints * depth = 1176) shard over `model`.
+
+    Returns a pytree of NamedShardings matching `params`.
+    """
+    model_size = mesh.shape[model_axis]
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+
+    shardings = []
+    for path, leaf in flat:
+        names = [getattr(k, "key", str(k)) for k in path]
+        spec = P()
+        if model_size > 1 and "final" in names:
+            # kernel (1, 1, C_in, C_out) / bias (C_out,): shard C_out
+            if leaf.ndim >= 1 and leaf.shape[-1] % model_size == 0:
+                spec = P(*([None] * (leaf.ndim - 1) + [model_axis]))
+        shardings.append(NamedSharding(mesh, spec))
+    return jax.tree_util.tree_unflatten(treedef, shardings)

@@ -1,0 +1,21 @@
+"""Training runtime: state, steps, checkpointing, runners."""
+
+from hand_integral_pose_estimation_tpu.training.state import (  # noqa: F401
+    TrainState,
+    create_train_state,
+    make_optimizer,
+    multistep_schedule,
+)
+from hand_integral_pose_estimation_tpu.training.train_step import (  # noqa: F401
+    make_eval_step,
+    make_train_step,
+)
+from hand_integral_pose_estimation_tpu.training.checkpoint import (  # noqa: F401
+    latest_epoch,
+    load_checkpoint,
+    save_checkpoint,
+)
+from hand_integral_pose_estimation_tpu.training.trainer import (  # noqa: F401
+    Tester,
+    Trainer,
+)

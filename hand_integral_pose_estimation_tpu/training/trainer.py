@@ -1,0 +1,187 @@
+"""Trainer / Tester runners (equivalent of common/base.py:33-284 +
+main/train.py:34-163's loop), TPU-style: host feeds raw batches, one jitted
+program does preprocess + forward + loss + update.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hand_integral_pose_estimation_tpu.config import Config
+from hand_integral_pose_estimation_tpu.data import pipeline
+from hand_integral_pose_estimation_tpu.models.pose_net import get_pose_net
+from hand_integral_pose_estimation_tpu.training import checkpoint as ckpt
+from hand_integral_pose_estimation_tpu.training.state import (
+    TrainState,
+    create_train_state,
+    make_optimizer,
+)
+from hand_integral_pose_estimation_tpu.training.train_step import (
+    make_eval_step,
+    make_train_step,
+)
+from hand_integral_pose_estimation_tpu.utils.logger import color_logger
+from hand_integral_pose_estimation_tpu.utils.timers import Timer
+
+
+@dataclasses.dataclass
+class Trainer:
+    """End-to-end training runner.
+
+    Equivalent responsibilities to the reference Trainer (common/base.py:90-177):
+    build the model + optimiser, optionally load PANet and a frozen teacher,
+    resume from the latest snapshot, and run the per-iteration loop with
+    read/step timing. The per-sample cv2 DataLoader worker pool is replaced by
+    the on-device pipeline (the `read` timer here measures only host batch
+    assembly + JPEG decode).
+    """
+
+    cfg: Config
+    dataset: object                        # FreiHandDataset / SyntheticFreiHand
+    model_dir: str = "/tmp/hipe_model_dump"
+    log_dir: Optional[str] = None
+    panet_apply: Optional[Callable] = None
+    teacher_apply: Optional[Callable] = None
+    integral_impl: str = "auto"
+    continue_train: bool = False
+    seed: int = 0
+
+    def __post_init__(self):
+        self.logger = color_logger(self.log_dir, "train_logs.txt")
+        self.model = get_pose_net(self.cfg.model)
+        steps_per_epoch = max(
+            1, len(self.dataset) // self.cfg.train.batch_size)
+        self.steps_per_epoch = steps_per_epoch
+        self.tx = make_optimizer(self.cfg.train, steps_per_epoch)
+
+        sample = jnp.zeros(
+            (1, *self.cfg.model.input_shape, 3), jnp.float32)
+        self.state, _ = create_train_state(
+            self.model, jax.random.PRNGKey(self.seed), sample,
+            self.cfg.train, steps_per_epoch, tx=self.tx)
+        self.start_epoch = 0
+        if self.continue_train:
+            try:
+                self.state, epoch = ckpt.load_checkpoint(
+                    self.model_dir, self.state)
+                self.start_epoch = epoch + 1
+                self.logger.info("resumed from snapshot_%d", epoch)
+            except FileNotFoundError:
+                self.logger.info("no snapshot found; training from scratch")
+
+        self.train_step = make_train_step(
+            self.model, self.tx, self.cfg,
+            teacher_apply=self.teacher_apply, panet_apply=self.panet_apply,
+            integral_impl=self.integral_impl)
+        self._preprocess = jax.jit(self._make_preprocess())
+
+        self.read_timer = Timer()
+        self.step_timer = Timer()
+        self.total_timer = Timer()
+
+    def _make_preprocess(self):
+        acfg = self.cfg.augment
+        hw = self.cfg.model.input_shape
+
+        def fn(rng, image, joint_cam, K, labelled, ref_bone_len,
+               bbox_detector=None, teacher_cam_normalized=None):
+            return pipeline.make_train_batch(
+                rng, image, joint_cam, K, bbox_detector, labelled,
+                teacher_cam_normalized, ref_bone_len, acfg, hw)
+        return fn
+
+    def run_epoch(self, epoch: int, num_steps: Optional[int] = None,
+                  log_every: int = 20) -> dict:
+        num_steps = num_steps or self.steps_per_epoch
+        rng = np.random.RandomState(self.seed * 100003 + epoch)
+        key = jax.random.PRNGKey(self.seed * 131 + epoch)
+        last_metrics = {}
+        for itr in range(num_steps):
+            self.total_timer.tic()
+            self.read_timer.tic()
+            host = self.dataset.host_batch(
+                self.dataset.sample_indices(
+                    rng, self.cfg.train.batch_size))
+            self.read_timer.toc()
+
+            self.step_timer.tic()
+            key, sub = jax.random.split(key)
+            batch = self._preprocess(
+                sub, host["image"], host["joint_cam"], host["K"],
+                host["labelled"], host["ref_bone_len"],
+                host["bbox_detector"], host["teacher_cam_normalized"])
+            self.state, metrics = self.train_step(self.state, batch)
+            jax.block_until_ready(metrics["loss"])
+            self.step_timer.toc()
+            self.total_timer.toc()
+
+            if itr % log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                sec_per_itr = self.total_timer.average_time
+                self.logger.info(
+                    "epoch %d itr %d/%d loss %.5f (sup %.4f unsup %.4f) "
+                    "s_mpjpe %.4f t_mpjpe %.4f | %.3fs/itr (read %.3f "
+                    "step %.3f) %.2fh/epoch",
+                    epoch, itr, num_steps, m["loss"], m["loss_supervised"],
+                    m["loss_unsupervised"], m["student_mpjpe"],
+                    m["teacher_mpjpe"], sec_per_itr,
+                    self.read_timer.average_time,
+                    self.step_timer.average_time,
+                    sec_per_itr * num_steps / 3600.0)
+            last_metrics = metrics
+        return {k: float(v) for k, v in last_metrics.items()}
+
+    def fit(self, end_epoch: Optional[int] = None,
+            steps_per_epoch: Optional[int] = None,
+            save_every: int = 1) -> TrainState:
+        end_epoch = end_epoch or self.cfg.train.end_epoch
+        for epoch in range(self.start_epoch, end_epoch):
+            self.run_epoch(epoch, steps_per_epoch)
+            if (epoch + 1) % save_every == 0 or epoch == end_epoch - 1:
+                path = ckpt.save_checkpoint(self.model_dir, self.state, epoch)
+                self.logger.info("saved %s", path)
+        return self.state
+
+
+@dataclasses.dataclass
+class Tester:
+    """No-grad sweep over a dataset collecting integral coords
+    (main/test.py:67-143 equivalent); results feed evaluation/."""
+
+    cfg: Config
+    dataset: object
+    state: TrainState
+    integral_impl: str = "auto"
+
+    def __post_init__(self):
+        self.model = get_pose_net(self.cfg.model)
+        self.eval_step = make_eval_step(self.model, self.cfg,
+                                        self.integral_impl)
+        acfg = self.cfg.augment
+        hw = self.cfg.model.input_shape
+        self._preprocess = jax.jit(
+            lambda image, joint_cam, K, ref_bone_len, bbox=None:
+            pipeline.make_eval_batch(image, joint_cam, K, bbox,
+                                     ref_bone_len, acfg, hw))
+
+    def run(self, batch_size: Optional[int] = None):
+        bs = batch_size or self.cfg.train.test_batch_size
+        n = len(self.dataset)
+        coords_all, batches = [], []
+        for start in range(0, n - bs + 1, bs):
+            host = self.dataset.host_batch(np.arange(start, start + bs))
+            batch = self._preprocess(host["image"], host["joint_cam"],
+                                     host["K"], host["ref_bone_len"],
+                                     host["bbox_detector"])
+            coords, _ = self.eval_step(self.state, batch)
+            coords_all.append(np.asarray(coords))
+            batches.append(jax.tree_util.tree_map(np.asarray, batch))
+        coords = np.concatenate(coords_all)
+        merged = jax.tree_util.tree_map(
+            lambda *xs: np.concatenate(xs), *batches)
+        return coords, merged

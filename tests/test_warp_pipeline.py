@@ -173,3 +173,49 @@ class TestPipeline:
         np.testing.assert_allclose(batch.bbox, bbox)
         np.testing.assert_allclose(
             batch.tprime, 100.0 * K[0, 0, 0] / 150.0, rtol=1e-6)
+
+
+class TestTwoPassWarp:
+    def test_exact_for_affine_axis_aligned(self, rng):
+        """Crop-style warps (no cross terms): two-pass == single-pass."""
+        from hand_integral_pose_estimation_tpu.ops.warp import (
+            warp_perspective, warp_perspective_twopass)
+        img = jnp.asarray(rng.rand(32, 40, 3))
+        H = np.diag([1.4, 0.8, 1.0]); H[0, 2] = -3.2; H[1, 2] = 5.1
+        got = warp_perspective_twopass(img, jnp.asarray(H), (24, 28))
+        want = warp_perspective(img, jnp.asarray(H), (24, 28))
+        np.testing.assert_allclose(got, want, atol=1e-9)
+
+    def test_close_on_smooth_image_with_rotation(self, rng):
+        """With cross-terms the two filters differ at O(grad * du/dv); on a
+        smooth image both must track the analytic warp closely."""
+        from hand_integral_pose_estimation_tpu.ops.warp import (
+            warp_perspective, warp_perspective_twopass)
+        H_img, W_img = 96, 96
+        yy, xx = np.mgrid[0:H_img, 0:W_img]
+        smooth = (np.sin(xx / 9.0) + np.cos(yy / 7.0)
+                  + 0.01 * xx - 0.005 * yy)[..., None]
+        K = np.asarray([[100.0, 0, 48.0], [0, 100.0, 48.0], [0, 0, 1.0]])
+        R = np.asarray(geo.sample_rotation_matrix(jax.random.PRNGKey(1),
+                                                  rot_prob=1.0))
+        Hm = K @ R @ np.linalg.inv(K)
+        a = np.asarray(warp_perspective_twopass(jnp.asarray(smooth),
+                                                jnp.asarray(Hm), (96, 96)))
+        b = np.asarray(warp_perspective(jnp.asarray(smooth),
+                                        jnp.asarray(Hm), (96, 96)))
+        # compare away from the border (the two filters handle the
+        # zero-border differently in the last partial pixel)
+        a_c, b_c = a[12:-12, 12:-12], b[12:-12, 12:-12]
+        mask = (np.abs(a_c) > 1e-9) & (np.abs(b_c) > 1e-9)
+        assert mask.mean() > 0.5
+        assert np.abs((a_c - b_c)[mask]).max() < 5e-3
+
+    def test_batch_twopass_method(self, rng):
+        from hand_integral_pose_estimation_tpu.ops.warp import (
+            warp_perspective_batch)
+        imgs = jnp.asarray(rng.rand(3, 32, 32, 3))
+        H = np.diag([1.2, 0.9, 1.0]); H[0, 2] = 2.0
+        Hs = jnp.asarray(np.stack([H] * 3))
+        a = warp_perspective_batch(imgs, Hs, (16, 16), method="gather")
+        b = warp_perspective_batch(imgs, Hs, (16, 16), method="twopass")
+        np.testing.assert_allclose(a, b, atol=1e-9)
