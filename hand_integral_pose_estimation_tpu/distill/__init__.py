@@ -1,0 +1,8 @@
+"""Teacher-label distillation: rotation-variance filtering."""
+
+from hand_integral_pose_estimation_tpu.distill.teacher_labels import (  # noqa: F401
+    FilteredLabels,
+    filter_precision_curve,
+    generate_filtered_labels,
+    teacher_error_vs_variance,
+)

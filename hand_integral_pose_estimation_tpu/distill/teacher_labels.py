@@ -1,0 +1,155 @@
+"""Teacher pseudo-label generation with the rotation-variance filter.
+
+Capability equivalent of main/generate_filtered_teacher_labels.py:403-509:
+for every unlabelled image, run the frozen teacher under 21 evenly spaced
+z-rotations, back-project each prediction to the normalised camera frame,
+keep the sample iff the total prediction variance over rotations is below
+1e-4, and store the mean prediction as pseudo-GT `joint_cam_normalized`.
+
+TPU-first: the reference runs 21 sequential single-image teacher forwards per
+sample (:467-489); here all B*T rotated crops are produced by one batched
+warp and decoded by one batched teacher forward.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from hand_integral_pose_estimation_tpu.config import AugmentConfig
+from hand_integral_pose_estimation_tpu.geometry import (
+    bbox as bbox_mod,
+    labels as lbl,
+    rotation,
+    transforms,
+)
+from hand_integral_pose_estimation_tpu.ops.warp import warp_perspective_batch
+
+
+class FilteredLabels(NamedTuple):
+    joint_cam_normalized: jnp.ndarray  # (B, J, 3) pseudo-GT (mean over rots)
+    tprime: jnp.ndarray                # (B,)
+    variance: jnp.ndarray              # (B,) total variance over rotations
+    keep: jnp.ndarray                  # (B,) bool — labelled OR var < thresh
+    per_rotation: jnp.ndarray          # (B, T, J, 3) raw back-projections
+
+
+def generate_filtered_labels(
+    teacher_apply: Callable[[jnp.ndarray], jnp.ndarray],
+    images: jnp.ndarray,
+    K: jnp.ndarray,
+    bbox: jnp.ndarray,
+    labelled: jnp.ndarray,
+    joint_cam: jnp.ndarray,
+    acfg: AugmentConfig = AugmentConfig(),
+    num_rotations: int = 21,
+    rotation_range: float = 0.52,
+    variance_threshold: float = 1e-4,
+    patch_hw=(224, 224),
+) -> FilteredLabels:
+    """Variance-filtered pseudo-labels for one batch.
+
+    Args:
+        teacher_apply: (N, ph, pw, 3) normalised patches -> (N, J, 3)
+            label-space coords (frozen teacher forward + integral decode).
+        images: (B, H, W, 3) RGB.
+        K: (B, 3, 3).
+        bbox: (B, 4) detector crop boxes (fixed across rotations, like the
+            reference's faster_rcnn_bbox).
+        labelled: (B,) — labelled samples keep their GT normalisation
+            (computed at theta = 0, :455-465) and are always kept.
+        joint_cam: (B, J, 3) GT joints (used for labelled rows only).
+
+    The rotations are `num_rotations` evenly spaced z-axis angles over
+    [-rotation_range, rotation_range] (the reference's
+    np.arange(-0.52, 0.53, 0.05), :467).
+    """
+    B = images.shape[0]
+    ph, pw = patch_hw
+    thetas = jnp.linspace(-rotation_range, rotation_range, num_rotations)
+    T = num_rotations
+
+    Rz = rotation.rotation_z(thetas)                      # (T, 3, 3)
+    trans = transforms.trans_from_patch(
+        bbox[:, 0], bbox[:, 1], bbox[:, 2], bbox[:, 3], pw, ph,
+        scale=acfg.scale)                                  # (B, 3, 3)
+    trans_inv = transforms.trans_from_patch(
+        bbox[:, 0], bbox[:, 1], bbox[:, 2], bbox[:, 3], pw, ph,
+        scale=acfg.scale, inv=True)
+    tprime = bbox_mod.tprime_from_bbox(bbox, K, acfg.scaling_constant)
+
+    # (B, T, 3, 3) total homographies; one batched warp of B*T crops
+    rot_h = jax.vmap(lambda Ki: jax.vmap(
+        lambda R: transforms.rotation_homography(Ki, R))(Rz))(K)
+    H_total = trans[:, None] @ rot_h
+    imgs_rep = jnp.repeat(images.astype(jnp.float32), T, axis=0)
+    patches = warp_perspective_batch(
+        imgs_rep, H_total.reshape(B * T, 3, 3), patch_hw)
+    mean = jnp.asarray(acfg.pixel_mean, patches.dtype)
+    patches = jnp.clip((patches - mean), 0.0, 255.0)
+
+    coords = teacher_apply(patches)                        # (B*T, J, 3)
+    J = coords.shape[-2]
+    coords = coords.reshape(B, T, J, 3)
+
+    # back-project every rotation to the normalised camera frame
+    # (convert_to_cam_coord, :124-131)
+    cam = jax.vmap(
+        lambda c_t, ti, Ki, R_t, tp: jax.vmap(
+            lambda c, R: lbl.patch_label_to_camera(
+                c, ti, tp, Ki, R, pw, ph))(c_t, R_t)
+    )(coords, trans_inv, K,
+      jnp.broadcast_to(Rz, (B, T, 3, 3)),
+      tprime)                                              # (B, T, J, 3)
+
+    variance = jnp.var(cam, axis=1).sum(axis=(-2, -1))     # (B,)
+    mean_pred = cam.mean(axis=1)                           # (B, J, 3)
+
+    # labelled rows: GT normalisation at theta = 0 (:455-465)
+    uv, z, _ = jax.vmap(
+        lambda jc, Ki: camera_project(jc, Ki))(joint_cam, K)
+    gt_norm = joint_cam * (tprime / z[..., 9])[:, None, None]
+
+    lab = labelled[:, None, None]
+    joint_cam_normalized = jnp.where(lab, gt_norm, mean_pred)
+    keep = labelled | (variance < variance_threshold)
+    variance = jnp.where(labelled, 0.0, variance)
+    return FilteredLabels(
+        joint_cam_normalized=joint_cam_normalized,
+        tprime=tprime,
+        variance=variance,
+        keep=keep,
+        per_rotation=cam,
+    )
+
+
+def camera_project(joint_cam, K):
+    from hand_integral_pose_estimation_tpu.geometry import camera
+    return camera.project_points(joint_cam, jnp.eye(3, dtype=K.dtype), K)
+
+
+def teacher_error_vs_variance(per_rotation: jnp.ndarray,
+                              joint_cam_normalized_gt: jnp.ndarray):
+    """Per-sample (variance, MPJPE-vs-GT) pairs — the statistic behind the
+    reference's variance-threshold precision study
+    (generate_filtered_teacher_labels.py:193-401 `get_variance_measure`).
+    """
+    mean_pred = per_rotation.mean(axis=1)
+    variance = jnp.var(per_rotation, axis=1).sum(axis=(-2, -1))
+    mpjpe = jnp.linalg.norm(mean_pred - joint_cam_normalized_gt,
+                            axis=-1).mean(-1)
+    return variance, mpjpe
+
+
+def filter_precision_curve(variance: jnp.ndarray, mpjpe: jnp.ndarray,
+                           thresholds: jnp.ndarray,
+                           mpjpe_threshold: float = 0.005):
+    """%-of-kept-samples-with-MPJPE<thr per variance threshold — the curves
+    plotted by `_plot` (:145-191). Returns (kept_frac, precision)."""
+    kept = variance[None, :] < thresholds[:, None]          # (T, B)
+    good = kept & (mpjpe[None, :] < mpjpe_threshold)
+    kept_n = jnp.maximum(kept.sum(-1), 1)
+    return (kept.mean(-1) * 100.0,
+            100.0 * good.sum(-1) / kept_n)

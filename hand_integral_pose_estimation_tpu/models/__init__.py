@@ -11,3 +11,10 @@ from hand_integral_pose_estimation_tpu.models.pose_net import (  # noqa: F401
     ResPoseNet,
     get_pose_net,
 )
+from hand_integral_pose_estimation_tpu.models.panet import (  # noqa: F401
+    PANet,
+    convert_torch_state_dict,
+    make_orthonormal,
+    panet_loss,
+    panet_reconstruction_fn,
+)

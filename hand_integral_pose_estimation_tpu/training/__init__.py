@@ -19,3 +19,7 @@ from hand_integral_pose_estimation_tpu.training.trainer import (  # noqa: F401
     Tester,
     Trainer,
 )
+from hand_integral_pose_estimation_tpu.training.panet_trainer import (  # noqa: F401
+    PANetTrainResult,
+    train_panet,
+)

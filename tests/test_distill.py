@@ -1,0 +1,123 @@
+"""Distillation: the rotation-variance filter, tested with synthetic
+teachers — a perfect teacher has ~zero variance and exact pseudo-labels; a
+rotation-inconsistent teacher is rejected."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hand_integral_pose_estimation_tpu import geometry as geo
+from hand_integral_pose_estimation_tpu.distill import (
+    filter_precision_curve,
+    generate_filtered_labels,
+    teacher_error_vs_variance,
+)
+from hand_integral_pose_estimation_tpu.geometry import (
+    bbox as bbox_mod,
+    labels as lbl,
+    transforms,
+)
+from hand_integral_pose_estimation_tpu.training.panet_trainer import (
+    train_panet,
+)
+from hand_integral_pose_estimation_tpu.models.panet import PANet
+
+
+def _setup(rng, B=2):
+    K = jnp.asarray([[531.9, 0., 112.], [0., 532.2, 112.], [0., 0., 1.]])
+    joints = jnp.asarray(np.array([0., 0., 0.45])
+                         + rng.uniform(-0.03, 0.03, (B, 21, 3)))
+    imgs = jnp.asarray(rng.randint(0, 255, (B, 224, 224, 3)), jnp.uint8)
+    Ks = jnp.broadcast_to(K, (B, 3, 3))
+    uv, _, _ = jax.vmap(lambda j, k: geo.project_points(
+        j, jnp.eye(3, dtype=k.dtype), k))(joints, Ks)
+    bbox = jax.vmap(lambda u: bbox_mod.bbox_from_keypoints(
+        u, jnp.ones(21)))(uv)
+    return imgs, joints, Ks, bbox
+
+
+def _oracle_teacher(joints, Ks, bbox, num_rotations=21, rng_noise=None):
+    """Teacher that answers with the TRUE label for whichever rotated crop it
+    is shown (patches arrive ordered (b, t))."""
+    B = joints.shape[0]
+    thetas = jnp.linspace(-0.52, 0.52, num_rotations)
+    Rz = geo.rotation_z(thetas)
+
+    labels = []
+    for b in range(B):
+        for t in range(num_rotations):
+            out = lbl.compute_patch_labels(joints[b], Rz[t], Ks[b], bbox[b])
+            l = out.label
+            if rng_noise is not None:
+                l = l + rng_noise.randn(*l.shape) * 0.02 * (t + 1)
+            labels.append(l)
+    stacked = jnp.asarray(np.stack(labels))
+
+    def apply(patches):
+        assert patches.shape[0] == stacked.shape[0]
+        return stacked
+    return apply
+
+
+class TestVarianceFilter:
+    def test_perfect_teacher_kept_with_exact_labels(self, rng):
+        imgs, joints, Ks, bbox = _setup(rng)
+        teacher = _oracle_teacher(joints, Ks, bbox)
+        out = generate_filtered_labels(
+            teacher, imgs, Ks, bbox, jnp.array([False, False]), joints)
+        assert bool(out.keep.all())
+        assert float(out.variance.max()) < 1e-10
+        # pseudo-labels equal the GT normalisation
+        tprime = bbox_mod.tprime_from_bbox(bbox, Ks, 100.0)
+        want = joints * (tprime / (joints[:, 9, 2] * 1000.0))[:, None, None]
+        np.testing.assert_allclose(out.joint_cam_normalized, want,
+                                   rtol=1e-5, atol=1e-7)
+
+    def test_inconsistent_teacher_rejected(self, rng):
+        imgs, joints, Ks, bbox = _setup(rng)
+        teacher = _oracle_teacher(joints, Ks, bbox,
+                                  rng_noise=np.random.RandomState(0))
+        out = generate_filtered_labels(
+            teacher, imgs, Ks, bbox, jnp.array([False, False]), joints)
+        assert not bool(out.keep.any())
+        assert float(out.variance.min()) > 1e-4
+
+    def test_labelled_rows_always_kept_with_gt(self, rng):
+        imgs, joints, Ks, bbox = _setup(rng)
+        teacher = _oracle_teacher(joints, Ks, bbox,
+                                  rng_noise=np.random.RandomState(0))
+        out = generate_filtered_labels(
+            teacher, imgs, Ks, bbox, jnp.array([True, True]), joints)
+        assert bool(out.keep.all())
+        np.testing.assert_allclose(out.variance, 0.0)
+
+    def test_precision_curve_monotone_kept(self, rng):
+        var = jnp.asarray(rng.rand(100) * 2e-4)
+        mp = jnp.asarray(rng.rand(100) * 0.01)
+        thr = jnp.linspace(1e-6, 2e-4, 10)
+        kept, prec = filter_precision_curve(var, mp, thr)
+        assert (np.diff(np.asarray(kept)) >= 0).all()
+
+    def test_error_vs_variance_shapes(self, rng):
+        per_rot = jnp.asarray(rng.randn(4, 21, 21, 3) * 0.01)
+        gt = jnp.asarray(rng.randn(4, 21, 3) * 0.01)
+        var, mp = teacher_error_vs_variance(per_rot, gt)
+        assert var.shape == (4,) and mp.shape == (4,)
+
+
+class TestPANetTrainer:
+    def test_loss_decreases(self, rng):
+        pts = rng.randn(64, 21, 3).astype(np.float32) * 0.05
+        pts = pts - pts.mean(1, keepdims=True)
+        model = PANet(pts_num=21, dict_sizes=(32, 16, 8))
+        res = train_panet(model, pts[:48], pts[48:], num_steps=200,
+                          batch_size=16, lr=1e-3, eval_every=100)
+        assert float(res.train_losses[-1]) < float(res.train_losses[0])
+        assert np.isfinite(float(res.best_val_loss))
+
+    def test_best_checkpoint_tracked(self, rng):
+        pts = rng.randn(32, 21, 3).astype(np.float32) * 0.05
+        model = PANet(pts_num=21, dict_sizes=(16, 8))
+        res = train_panet(model, pts[:24], pts[24:], num_steps=100,
+                          batch_size=8, eval_every=50)
+        assert float(res.best_val_loss) <= float(res.val_losses[-1]) + 1e-9
