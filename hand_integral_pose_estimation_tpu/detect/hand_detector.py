@@ -1,0 +1,99 @@
+"""Hand-detector facade: image -> fixed-size hand boxes + scores.
+
+Equivalent of common/hand_detector.py:47-246: blob preparation (BGR, pixel
+means, single-scale resize short-side 600 / max-side 1000), Faster R-CNN
+forward, std-denormalised delta decode + clip, score threshold 0.001, class
+NMS at 0.3, and `detect_hand_crop_bbox` reproducing the caller's
+best-score-box -> square -> pad x1.75 crop box (augment.py:317-342).
+
+TPU-first: the resize is the same matmul-based warp as the crop pipeline,
+the whole path jits, and outputs are fixed-size (max_detections, 5) with a
+validity mask instead of the reference's variable-length cls_dets.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from hand_integral_pose_estimation_tpu.config import DetectorConfig
+from hand_integral_pose_estimation_tpu.detect import box_ops
+from hand_integral_pose_estimation_tpu.detect.faster_rcnn import FasterRCNN
+from hand_integral_pose_estimation_tpu.geometry import bbox as bbox_mod
+from hand_integral_pose_estimation_tpu.ops.nms import nms
+from hand_integral_pose_estimation_tpu.ops.warp import (
+    warp_perspective_batch,
+)
+
+
+class Detections(NamedTuple):
+    boxes: jnp.ndarray    # (B, max_detections, 4) xyxy, original image coords
+    scores: jnp.ndarray   # (B, max_detections)
+    valid: jnp.ndarray    # (B, max_detections)
+
+
+def _blob_scale(im_hw, target: int, max_size: int) -> float:
+    h, w = im_hw
+    scale = target / min(h, w)
+    if scale * max(h, w) > max_size:
+        scale = max_size / max(h, w)
+    return scale
+
+
+def prepare_blob(images_rgb: jnp.ndarray, cfg: DetectorConfig):
+    """RGB uint8/float images -> resized BGR mean-subtracted blob
+    (hand_detector.py:78-109 + utils/blob.py:20-49). Returns (blob, scale)."""
+    B, H, W = images_rgb.shape[0], images_rgb.shape[1], images_rgb.shape[2]
+    scale = _blob_scale((H, W), cfg.test_scale, cfg.test_max_size)
+    oh, ow = int(round(H * scale)), int(round(W * scale))
+    bgr = images_rgb[..., ::-1].astype(jnp.float32)
+    bgr = bgr - jnp.asarray(cfg.pixel_means, jnp.float32)
+    Hm = jnp.asarray([[scale, 0, 0], [0, scale, 0], [0, 0, 1.0]],
+                     jnp.float32)
+    blob = warp_perspective_batch(
+        bgr, jnp.broadcast_to(Hm, (B, 3, 3)), (oh, ow))
+    return blob, scale
+
+
+def detect(model: FasterRCNN, variables, images_rgb: jnp.ndarray,
+           cfg: Optional[DetectorConfig] = None) -> Detections:
+    """Full two-stage detection (hand_detector.py:160-246): blob -> forward
+    -> decode class-1 ("hand") deltas with bbox_normalize_stds -> clip ->
+    rescale to original image -> threshold 0.001 -> NMS 0.3 -> fixed top-K."""
+    cfg = cfg or model.cfg
+    B, H, W = images_rgb.shape[0], images_rgb.shape[1], images_rgb.shape[2]
+    blob, scale = prepare_blob(images_rgb, cfg)
+    out = model.apply(variables, blob, train=False)
+
+    stds = jnp.asarray(cfg.bbox_normalize_stds, jnp.float32)
+    means = jnp.asarray(cfg.bbox_normalize_means, jnp.float32)
+    # class 1 = hand (classes = ('__background__', 'hand'))
+    deltas = out.bbox_deltas.reshape(B, -1, len(cfg.classes), 4)[:, :, 1]
+    deltas = deltas * stds + means
+    boxes = jax.vmap(box_ops.decode_boxes)(out.rois, deltas)
+    boxes = box_ops.clip_boxes(boxes, blob.shape[1:3]) / scale
+    scores = out.cls_scores[..., 1]
+    scores = jnp.where(out.roi_valid, scores, 0.0)
+
+    def per_image(bx, sc):
+        return nms(bx, sc, cfg.det_nms_thresh, cfg.max_detections,
+                   score_threshold=cfg.det_score_thresh)
+
+    b, s, v = jax.vmap(per_image)(boxes, scores)
+    return Detections(boxes=b, scores=s, valid=v)
+
+
+def detect_hand_crop_bbox(model: FasterRCNN, variables,
+                          images_rgb: jnp.ndarray,
+                          cfg: Optional[DetectorConfig] = None,
+                          pad_factor: float = 1.75) -> jnp.ndarray:
+    """Best-score detection -> square + padded crop box (cx, cy, w, h) — the
+    box the pose pipeline crops with (augment.py:317-342
+    `find_bb_hand_detector`). Returns (B, 4)."""
+    det = detect(model, variables, images_rgb, cfg)
+    packed = jnp.concatenate([det.boxes, det.scores[..., None]], axis=-1)
+    return jax.vmap(
+        lambda p: bbox_mod.bbox_from_detection(p, pad_factor=pad_factor)
+    )(packed)

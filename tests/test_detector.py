@@ -1,0 +1,265 @@
+"""Detector stack: NMS/ROIAlign vs NumPy oracles, box-transform round trips,
+anchor generation vs the reference enumeration, end-to-end forward + training
+losses on a tiny config."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hand_integral_pose_estimation_tpu.config import DetectorConfig
+from hand_integral_pose_estimation_tpu.detect import (
+    FasterRCNN,
+    anchor_target_layer,
+    decode_boxes,
+    detect,
+    detect_hand_crop_bbox,
+    encode_boxes,
+    generate_base_anchors,
+    grid_anchors,
+    proposal_layer,
+    proposal_target_layer,
+    rpn_losses,
+    smooth_l1,
+)
+from hand_integral_pose_estimation_tpu.ops.nms import box_iou, nms
+from hand_integral_pose_estimation_tpu.ops.roi_align import roi_align
+
+
+def _np_greedy_nms(boxes, scores, thresh):
+    """Sequential greedy NMS oracle (the csrc/cpu/nms_cpu.cpp contract)."""
+    order = np.argsort(-scores)
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        for j in order:
+            if j == i or suppressed[j]:
+                continue
+            xx1 = max(boxes[i, 0], boxes[j, 0])
+            yy1 = max(boxes[i, 1], boxes[j, 1])
+            xx2 = min(boxes[i, 2], boxes[j, 2])
+            yy2 = min(boxes[i, 3], boxes[j, 3])
+            w = max(0.0, xx2 - xx1 + 1)
+            h = max(0.0, yy2 - yy1 + 1)
+            inter = w * h
+            a_i = ((boxes[i, 2] - boxes[i, 0] + 1)
+                   * (boxes[i, 3] - boxes[i, 1] + 1))
+            a_j = ((boxes[j, 2] - boxes[j, 0] + 1)
+                   * (boxes[j, 3] - boxes[j, 1] + 1))
+            if inter / (a_i + a_j - inter) > thresh:
+                suppressed[j] = True
+    return keep
+
+
+class TestNMS:
+    def test_matches_numpy_oracle(self, rng):
+        for trial in range(5):
+            n = 60
+            ctr = rng.rand(n, 2) * 100
+            wh = rng.rand(n, 2) * 40 + 5
+            boxes = np.concatenate([ctr - wh / 2, ctr + wh / 2],
+                                   axis=1)
+            scores = rng.rand(n).astype(np.float64)
+            keep = _np_greedy_nms(boxes, scores, 0.5)
+            got_b, got_s, got_v = nms(jnp.asarray(boxes),
+                                      jnp.asarray(scores), 0.5, n)
+            nk = len(keep)
+            assert int(got_v.sum()) == nk
+            np.testing.assert_allclose(np.asarray(got_b)[:nk],
+                                       boxes[keep], atol=1e-9)
+
+    def test_matches_oracle_multi_tile(self, rng):
+        # N > 512 exercises the tiled sweep across tile boundaries
+        n = 1200
+        ctr = rng.rand(n, 2) * 300
+        wh = rng.rand(n, 2) * 60 + 5
+        boxes = np.concatenate([ctr - wh / 2, ctr + wh / 2], axis=1)
+        scores = rng.rand(n)
+        keep = _np_greedy_nms(boxes, scores, 0.5)
+        got_b, _, got_v = nms(jnp.asarray(boxes), jnp.asarray(scores),
+                              0.5, 400)
+        nk = min(len(keep), 400)
+        assert int(got_v.sum()) == nk
+        np.testing.assert_allclose(np.asarray(got_b)[:nk], boxes[keep][:nk],
+                                   atol=1e-9)
+
+    def test_fixed_output_padding(self, rng):
+        boxes = jnp.asarray([[0, 0, 10, 10], [100, 100, 110, 110.0]])
+        scores = jnp.asarray([0.9, 0.8])
+        b, s, v = nms(boxes, scores, 0.5, top_k=5)
+        assert b.shape == (5, 4)
+        assert bool(v[0]) and bool(v[1]) and not bool(v[2:].any())
+        np.testing.assert_allclose(np.asarray(b)[2:], 0.0)
+
+    def test_score_threshold(self):
+        boxes = jnp.asarray([[0, 0, 10, 10], [100, 100, 110, 110.0]])
+        scores = jnp.asarray([0.9, 0.0005])
+        _, _, v = nms(boxes, scores, 0.5, 2, score_threshold=0.001)
+        assert bool(v[0]) and not bool(v[1])
+
+    def test_iou_values(self):
+        a = jnp.asarray([[0.0, 0, 9, 9]])     # 10x10 with +1 convention
+        b = jnp.asarray([[5.0, 0, 14, 9]])    # overlap 5x10 = 50
+        iou = box_iou(a, b)
+        np.testing.assert_allclose(iou, 50.0 / 150.0, atol=1e-9)
+
+
+class TestRoiAlign:
+    def _np_roi_align(self, feat, roi, pooled, ratio, scale):
+        """Direct NumPy transcription of the CUDA sampling scheme."""
+        H, W, C = feat.shape
+        x1, y1, x2, y2 = roi * scale
+        rw = max(x2 - x1, 1.0)
+        rh = max(y2 - y1, 1.0)
+        bw, bh = rw / pooled, rh / pooled
+        out = np.zeros((pooled, pooled, C))
+        for py in range(pooled):
+            for px in range(pooled):
+                acc = np.zeros(C)
+                for iy in range(ratio):
+                    for ix in range(ratio):
+                        y = y1 + py * bh + (iy + 0.5) * bh / ratio
+                        x = x1 + px * bw + (ix + 0.5) * bw / ratio
+                        if y < -1.0 or y > H or x < -1.0 or x > W:
+                            continue
+                        y = min(max(y, 0.0), H - 1)
+                        x = min(max(x, 0.0), W - 1)
+                        y0, x0 = int(y), int(x)
+                        y1c, x1c = min(y0 + 1, H - 1), min(x0 + 1, W - 1)
+                        ly, lx = y - y0, x - x0
+                        acc += ((1 - ly) * (1 - lx) * feat[y0, x0]
+                                + (1 - ly) * lx * feat[y0, x1c]
+                                + ly * (1 - lx) * feat[y1c, x0]
+                                + ly * lx * feat[y1c, x1c])
+                out[py, px] = acc / (ratio * ratio)
+        return out
+
+    def test_matches_numpy_oracle(self, rng):
+        feat = rng.rand(16, 20, 3)
+        rois = np.array([[10.0, 8.0, 150.0, 120.0],
+                         [0.0, 0.0, 320.0, 256.0],
+                         [40.0, 40.0, 90.0, 100.0]])
+        got = roi_align(jnp.asarray(feat), jnp.asarray(rois),
+                        pooled_size=7, spatial_scale=1 / 16.0,
+                        sampling_ratio=2)
+        for r in range(3):
+            want = self._np_roi_align(feat, rois[r], 7, 2, 1 / 16.0)
+            np.testing.assert_allclose(got[r], want, atol=1e-8)
+
+    def test_gradients_flow(self, rng):
+        feat = jnp.asarray(rng.rand(8, 8, 2).astype(np.float32))
+        rois = jnp.asarray([[0.0, 0.0, 64.0, 64.0]])
+        g = jax.grad(lambda f: roi_align(f, rois, 4, 1 / 16.0, 2).sum())(feat)
+        assert float(jnp.abs(g).sum()) > 0
+
+
+class TestBoxTransforms:
+    def test_encode_decode_roundtrip(self, rng):
+        anchors = jnp.asarray(rng.rand(20, 4) * 50)
+        anchors = anchors.at[:, 2:].add(anchors[:, :2] + 10)
+        gt = jnp.asarray(rng.rand(20, 4) * 50)
+        gt = gt.at[:, 2:].add(gt[:, :2] + 10)
+        rec = decode_boxes(anchors, encode_boxes(anchors, gt))
+        np.testing.assert_allclose(rec, gt, atol=1e-6)
+
+    def test_base_anchors_reference_values(self):
+        """Spot-check against the well-known caffe anchor enumeration for
+        base 16, ratios (0.5, 1, 2), scales (8, 16, 32)."""
+        a = generate_base_anchors(16, (0.5, 1.0, 2.0), (8, 16, 32))
+        np.testing.assert_allclose(a[0], [-84.0, -40.0, 99.0, 55.0])
+        np.testing.assert_allclose(a[3], [-56.0, -56.0, 71.0, 71.0])
+        np.testing.assert_allclose(a[8], [-168.0, -344.0, 183.0, 359.0])
+
+    def test_grid_anchor_count_and_stride(self):
+        g = grid_anchors((4, 5), 16)
+        assert g.shape == (4 * 5 * 9, 4)
+        # anchor at cell (0,1) = base anchor shifted by 16 in x
+        np.testing.assert_allclose(g[9] - g[0], [16.0, 0, 16.0, 0])
+
+    def test_smooth_l1(self):
+        d = jnp.asarray([0.05, 2.0])
+        out = smooth_l1(d, sigma=3.0)
+        np.testing.assert_allclose(out[0], 0.5 * 9 * 0.05 ** 2, atol=1e-8)
+        np.testing.assert_allclose(out[1], 2.0 - 0.5 / 9, atol=1e-8)
+
+
+class TestTargetLayers:
+    def test_anchor_targets_basic(self, rng):
+        # small scales so anchors fit inside the 64px test image
+        base = generate_base_anchors(16, (0.5, 1.0, 2.0), (1, 2))
+        anchors = grid_anchors((4, 4), 16, base)
+        gt = jnp.asarray([[10.0, 10.0, 40.0, 40.0], [0.0, 0, 0, 0]])
+        gv = jnp.asarray([True, False])
+        t = anchor_target_layer(jax.random.PRNGKey(0), anchors, gt, gv,
+                                (64, 64), DetectorConfig())
+        assert int(t.fg_mask.sum()) >= 1
+        # all positives must overlap the gt box decently
+        iou = np.asarray(box_iou(anchors, gt))[:, 0]
+        assert (iou[np.asarray(t.fg_mask)] > 0).all()
+        # fg regression targets decode back to the gt box
+        dec = decode_boxes(anchors, t.bbox_targets)
+        fg = np.asarray(t.fg_mask)
+        np.testing.assert_allclose(np.asarray(dec)[fg],
+                                   np.tile(gt[0], (fg.sum(), 1)), atol=1e-4)
+
+    def test_proposal_targets_composition(self, rng):
+        cfg = DetectorConfig(roi_batch_size=16, roi_fg_fraction=0.25)
+        rois = jnp.asarray(rng.rand(30, 4) * 40)
+        rois = rois.at[:, 2:].add(rois[:, :2] + 20)
+        gt = jnp.asarray([[10.0, 10.0, 60.0, 60.0]])
+        t = proposal_target_layer(
+            jax.random.PRNGKey(1), rois, jnp.ones(30, bool), gt,
+            jnp.asarray([1]), jnp.asarray([True]), cfg)
+        assert t.rois.shape == (16, 4)
+        # at most 4 fg (25% of 16); gt box itself guarantees >= 1
+        assert 1 <= int(t.fg_mask.sum()) <= 4
+        assert (np.asarray(t.labels)[np.asarray(t.fg_mask)] == 1).all()
+
+
+@pytest.fixture(scope="module")
+def tiny_detector():
+    cfg = DetectorConfig(
+        resnet_type=18, test_scale=64, test_max_size=64,
+        rpn_pre_nms_top_n_test=64, rpn_post_nms_top_n_test=16,
+        rpn_pre_nms_top_n_train=64, rpn_post_nms_top_n_train=16,
+        roi_batch_size=8, max_detections=5, rpn_min_size=2)
+    model = FasterRCNN(cfg=cfg)
+    img = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        img)
+    return model, variables, cfg
+
+
+class TestFasterRCNN:
+    def test_inference_shapes(self, tiny_detector, rng):
+        model, variables, cfg = tiny_detector
+        img = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32) * 255)
+        out = model.apply(variables, img, train=False)
+        assert out.rois.shape == (1, 16, 4)
+        assert out.cls_scores.shape == (1, 16, 2)
+        np.testing.assert_allclose(out.cls_scores.sum(-1), 1.0, atol=1e-5)
+
+    def test_training_losses(self, tiny_detector, rng):
+        model, variables, cfg = tiny_detector
+        img = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32) * 255)
+        gt = jnp.asarray([[[10.0, 10.0, 50.0, 50.0]]])
+        out = model.apply(variables, img, train=True, gt_boxes=gt,
+                          gt_classes=jnp.asarray([[1]]),
+                          gt_valid=jnp.asarray([[True]]),
+                          rngs={"sampling": jax.random.PRNGKey(2)})
+        assert out.losses is not None
+        for k, v in out.losses.items():
+            assert np.isfinite(float(v)), k
+
+    def test_detect_facade(self, tiny_detector, rng):
+        model, variables, cfg = tiny_detector
+        img = jnp.asarray(rng.randint(0, 255, (2, 64, 64, 3)), jnp.uint8)
+        det = detect(model, variables, img, cfg)
+        assert det.boxes.shape == (2, 5, 4)
+        crop = detect_hand_crop_bbox(model, variables, img, cfg)
+        assert crop.shape == (2, 4)
+        assert bool(jnp.isfinite(crop).all())
