@@ -1,0 +1,123 @@
+"""Filtered teacher-label generation (reference:
+main/generate_filtered_teacher_labels.py).
+
+Runs the frozen teacher under 21 z-rotations per unlabelled image (one
+batched forward per batch instead of 21 sequential forwards per sample),
+keeps samples whose prediction variance is below the threshold, and writes
+the filtered pseudo-label db (npz with joint_cam_normalized / tprime /
+variance / keep, the pickle-equivalent of
+FreiHand_keypoint_bbox_db_training_filtered.pkl).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--model-dir", default="output/teacher_model",
+                   help="teacher snapshot dir (config.py:79)")
+    p.add_argument("--out", default="output/filtered_teacher_labels.npz")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--variance-threshold", type=float, default=1e-4)
+    p.add_argument("--synthetic-size", type=int, default=32)
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hand_integral_pose_estimation_tpu.config import Config
+    from hand_integral_pose_estimation_tpu.data.freihand import (
+        FreiHandDataset,
+        SyntheticFreiHand,
+    )
+    from hand_integral_pose_estimation_tpu.distill import (
+        generate_filtered_labels,
+    )
+    from hand_integral_pose_estimation_tpu.geometry import (
+        bbox as bbox_mod,
+        camera,
+    )
+    from hand_integral_pose_estimation_tpu.models import get_pose_net
+    from hand_integral_pose_estimation_tpu.ops.integral import (
+        softmax_integral,
+    )
+    from hand_integral_pose_estimation_tpu.training import (
+        create_train_state,
+        load_checkpoint,
+    )
+
+    cfg = Config()
+    if args.synthetic or not args.data_dir:
+        dataset = SyntheticFreiHand(n=args.synthetic_size)
+    else:
+        dataset = FreiHandDataset(args.data_dir, "training", cfg)
+
+    model = get_pose_net(cfg.model)
+    state, _ = create_train_state(
+        model, jax.random.PRNGKey(0),
+        jnp.zeros((1, *cfg.model.input_shape, 3)), cfg.train)
+    try:
+        state, epoch = load_checkpoint(args.model_dir, state)
+        print(f"teacher = snapshot_{epoch}")
+    except FileNotFoundError:
+        print("no teacher snapshot — using a fresh model (smoke mode)")
+
+    J, D = cfg.model.num_joints, cfg.model.depth_dim
+
+    @jax.jit
+    def teacher_apply(patches):
+        hm = model.apply({"params": state.params,
+                          "batch_stats": state.batch_stats},
+                         patches, train=False)
+        return softmax_integral(hm, J, D)
+
+    @jax.jit
+    def run_batch(images, K, bbox, labelled, joint_cam):
+        return generate_filtered_labels(
+            teacher_apply, images, K, bbox, labelled, joint_cam,
+            cfg.augment, cfg.train.teacher_num_rotations,
+            cfg.train.teacher_rotation_range, args.variance_threshold,
+            cfg.model.input_shape)
+
+    results = {"joint_cam_normalized": [], "tprime": [], "variance": [],
+               "keep": [], "labelled": []}
+    n = len(dataset)
+    bs = args.batch_size
+    for start in range(0, n - bs + 1, bs):
+        host = dataset.host_batch(np.arange(start, start + bs))
+        images = jnp.asarray(host["image"])
+        K = jnp.asarray(host["K"])
+        joint_cam = jnp.asarray(host["joint_cam"])
+        labelled = jnp.asarray(host["labelled"])
+        if host["bbox_detector"] is not None:
+            bbox = jnp.asarray(host["bbox_detector"])
+        else:
+            uv, _, _ = jax.vmap(lambda j, k: camera.project_points(
+                j, jnp.eye(3, dtype=k.dtype), k))(joint_cam, K)
+            bbox = jax.vmap(lambda u: bbox_mod.bbox_from_keypoints(
+                u, jnp.ones(u.shape[0]),
+                pad_factor=cfg.augment.pad_factor))(uv)
+        out = run_batch(images, K, bbox, labelled, joint_cam)
+        for k in ("joint_cam_normalized", "tprime", "variance", "keep"):
+            results[k].append(np.asarray(getattr(out, k)))
+        results["labelled"].append(np.asarray(labelled))
+        if start % (20 * bs) == 0:
+            print(f"{start + bs}/{n} processed")
+
+    merged = {k: np.concatenate(v) for k, v in results.items()}
+    np.savez(args.out, **merged)
+    kept = merged["keep"].sum()
+    print(f"kept {kept}/{len(merged['keep'])} samples -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

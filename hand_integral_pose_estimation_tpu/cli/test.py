@@ -1,0 +1,72 @@
+"""Test-split metric evaluation (reference: main/test.py).
+
+Sweeps the test split with a trained snapshot, collects integral coords, and
+runs the full protocol #1/#2 pipeline (PA-MPJPE / MPJPE) + artifact dumps.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--model-dir", default="output/model_dump")
+    p.add_argument("--result-dir", default="output/result")
+    p.add_argument("--test-epoch", type=int, default=None,
+                   help="snapshot epoch (default: latest)")
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--synthetic-size", type=int, default=64)
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from hand_integral_pose_estimation_tpu.config import Config
+    from hand_integral_pose_estimation_tpu.data.freihand import (
+        FreiHandDataset,
+        SyntheticFreiHand,
+    )
+    from hand_integral_pose_estimation_tpu.evaluation import (
+        evaluate_test_split,
+    )
+    from hand_integral_pose_estimation_tpu.models import get_pose_net
+    from hand_integral_pose_estimation_tpu.training import (
+        Tester,
+        create_train_state,
+        load_checkpoint,
+    )
+
+    cfg = Config()
+    if args.synthetic or not args.data_dir:
+        dataset = SyntheticFreiHand(n=args.synthetic_size)
+    else:
+        dataset = FreiHandDataset(args.data_dir, "testing", cfg)
+
+    model = get_pose_net(cfg.model)
+    state, _ = create_train_state(
+        model, jax.random.PRNGKey(0),
+        jnp.zeros((1, *cfg.model.input_shape, 3)), cfg.train)
+    try:
+        state, epoch = load_checkpoint(args.model_dir, state,
+                                       args.test_epoch)
+        print(f"loaded snapshot_{epoch}")
+    except FileNotFoundError:
+        print("no snapshot found — evaluating a fresh model")
+
+    tester = Tester(cfg=cfg, dataset=dataset, state=state)
+    coords, batch = tester.run(batch_size=args.batch_size)
+    summary = evaluate_test_split(coords, batch, result_dir=args.result_dir)
+    print(summary["p1_summary"])
+    print(summary["p2_summary"])
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,237 @@
+// hipe_io — native host-side data loader for the TPU pose framework.
+//
+// The role of the reference's multiprocess torch DataLoader + cv2 decode
+// (common/base.py:141-145, data/dataset.py:109), rebuilt as a C++ thread
+// pool with double-buffered batch prefetch: JPEG files are read and decoded
+// in parallel into fixed-shape RGB batch buffers while the accelerator works
+// on the previous batch. Geometry/augmentation stays on the TPU
+// (data/pipeline.py); this library only turns bytes into pixels.
+//
+// C ABI (ctypes-friendly):
+//   hipe_loader*  hipe_loader_create(num_threads, height, width, batch)
+//   void          hipe_loader_destroy(loader)
+//   int           hipe_decode_jpeg(path, out, h, w)      // one image
+//   int           hipe_loader_submit(loader, paths[], n) // async batch
+//   int           hipe_loader_wait(loader, out)          // blocks, copies
+//
+// Build: g++ -O3 -shared -fPIC hipe_io.cpp -o libhipe_io.so -ljpeg
+//        -lpthread  (see Makefile)
+
+#include <cstddef>
+#include <cstdio>
+
+#include <jpeglib.h>
+
+#include <atomic>
+#include <condition_variable>
+#include <csetjmp>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <functional>
+#include <mutex>
+#include <queue>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct JpegErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void jpeg_error_exit(j_common_ptr cinfo) {
+  auto* err = reinterpret_cast<JpegErrorMgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+// Decode one JPEG file to RGB, bilinearly resizing to (out_h, out_w) if the
+// native size differs. Returns 0 on success.
+int decode_jpeg_file(const char* path, uint8_t* out, int out_h, int out_w) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return -2;
+  }
+
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+
+  const int w = cinfo.output_width;
+  const int h = cinfo.output_height;
+  std::vector<uint8_t> img(static_cast<size_t>(w) * h * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = img.data() + static_cast<size_t>(cinfo.output_scanline) * w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+
+  if (w == out_w && h == out_h) {
+    std::memcpy(out, img.data(), img.size());
+    return 0;
+  }
+  // bilinear resize (host fallback; the common FreiHAND case is 224==224)
+  const float sx = static_cast<float>(w) / out_w;
+  const float sy = static_cast<float>(h) / out_h;
+  for (int y = 0; y < out_h; ++y) {
+    const float fy = (y + 0.5f) * sy - 0.5f;
+    int y0 = fy < 0 ? 0 : static_cast<int>(fy);
+    if (y0 > h - 2) y0 = h - 2;
+    const float wy = fy - y0;
+    for (int x = 0; x < out_w; ++x) {
+      const float fx = (x + 0.5f) * sx - 0.5f;
+      int x0 = fx < 0 ? 0 : static_cast<int>(fx);
+      if (x0 > w - 2) x0 = w - 2;
+      const float wx = fx - x0;
+      for (int c = 0; c < 3; ++c) {
+        const float v00 = img[(static_cast<size_t>(y0) * w + x0) * 3 + c];
+        const float v01 = img[(static_cast<size_t>(y0) * w + x0 + 1) * 3 + c];
+        const float v10 = img[(static_cast<size_t>(y0 + 1) * w + x0) * 3 + c];
+        const float v11 =
+            img[(static_cast<size_t>(y0 + 1) * w + x0 + 1) * 3 + c];
+        const float top = v00 + wx * (v01 - v00);
+        const float bot = v10 + wx * (v11 - v10);
+        out[(static_cast<size_t>(y) * out_w + x) * 3 + c] =
+            static_cast<uint8_t>(top + wy * (bot - top) + 0.5f);
+      }
+    }
+  }
+  return 0;
+}
+
+class ThreadPool {
+ public:
+  explicit ThreadPool(int n) : stop_(false) {
+    for (int i = 0; i < n; ++i) {
+      workers_.emplace_back([this] {
+        for (;;) {
+          std::function<void()> task;
+          {
+            std::unique_lock<std::mutex> lk(mu_);
+            cv_.wait(lk, [this] { return stop_ || !tasks_.empty(); });
+            if (stop_ && tasks_.empty()) return;
+            task = std::move(tasks_.front());
+            tasks_.pop();
+          }
+          task();
+        }
+      });
+    }
+  }
+
+  ~ThreadPool() {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      stop_ = true;
+    }
+    cv_.notify_all();
+    for (auto& t : workers_) t.join();
+  }
+
+  void submit(std::function<void()> fn) {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      tasks_.push(std::move(fn));
+    }
+    cv_.notify_one();
+  }
+
+ private:
+  std::vector<std::thread> workers_;
+  std::queue<std::function<void()>> tasks_;
+  std::mutex mu_;
+  std::condition_variable cv_;
+  bool stop_;
+};
+
+struct Loader {
+  explicit Loader(int threads, int h, int w, int batch)
+      : pool(threads), height(h), width(w), batch(batch),
+        buffer(static_cast<size_t>(batch) * h * w * 3),
+        pending(0), errors(0), in_flight(false) {}
+
+  ThreadPool pool;
+  int height, width, batch;
+  std::vector<uint8_t> buffer;   // staging buffer for the in-flight batch
+  std::atomic<int> pending;
+  std::atomic<int> errors;
+  bool in_flight;
+  std::mutex mu;
+  std::condition_variable done_cv;
+};
+
+}  // namespace
+
+extern "C" {
+
+Loader* hipe_loader_create(int num_threads, int height, int width,
+                           int batch) {
+  if (num_threads <= 0 || height <= 0 || width <= 0 || batch <= 0)
+    return nullptr;
+  return new Loader(num_threads, height, width, batch);
+}
+
+void hipe_loader_destroy(Loader* l) { delete l; }
+
+int hipe_decode_jpeg(const char* path, uint8_t* out, int height, int width) {
+  return decode_jpeg_file(path, out, height, width);
+}
+
+// Start decoding a batch of image files into the staging buffer. `paths` is
+// an array of `n` C strings (n <= loader batch). Returns 0 on accept,
+// -1 if a batch is already in flight.
+int hipe_loader_submit(Loader* l, const char** paths, int n) {
+  if (!l || n <= 0 || n > l->batch) return -1;
+  {
+    std::lock_guard<std::mutex> lk(l->mu);
+    if (l->in_flight) return -1;
+    l->in_flight = true;
+  }
+  l->pending.store(n);
+  l->errors.store(0);
+  const size_t stride = static_cast<size_t>(l->height) * l->width * 3;
+  for (int i = 0; i < n; ++i) {
+    std::string p(paths[i]);
+    uint8_t* dst = l->buffer.data() + i * stride;
+    l->pool.submit([l, p, dst] {
+      if (decode_jpeg_file(p.c_str(), dst, l->height, l->width) != 0)
+        l->errors.fetch_add(1);
+      if (l->pending.fetch_sub(1) == 1) {
+        std::lock_guard<std::mutex> lk(l->mu);
+        l->done_cv.notify_all();
+      }
+    });
+  }
+  return 0;
+}
+
+// Wait for the in-flight batch and copy it into `out` ((batch, H, W, 3)
+// uint8, caller-allocated). Returns the number of decode errors, or -1 if
+// nothing was in flight.
+int hipe_loader_wait(Loader* l, uint8_t* out) {
+  if (!l) return -1;
+  {
+    std::unique_lock<std::mutex> lk(l->mu);
+    if (!l->in_flight) return -1;
+    l->done_cv.wait(lk, [l] { return l->pending.load() == 0; });
+    l->in_flight = false;
+  }
+  std::memcpy(out, l->buffer.data(), l->buffer.size());
+  return l->errors.load();
+}
+
+}  // extern "C"
