@@ -152,3 +152,43 @@ def aligned_pck_auc(pred: jnp.ndarray, gt: jnp.ndarray, **kw) -> PCKResult:
     (main/eval.py:184-206)."""
     aligned = procrustes.align_w_scale(gt, pred)
     return pck_auc(aligned, gt, **kw)
+
+
+def estimate_absolute_depth(bone_length: jnp.ndarray, K: jnp.ndarray,
+                            pre_2d_kpt: jnp.ndarray,
+                            bone=FreiHandJoints.ref_bone):
+    """Absolute root depth from a known bone length (FreiHand.py:86-139
+    `estimate_depth`): with joints n=9, m=10 at pixel coords (U, V) and
+    root-relative depths Z, the unknown global depth offset t solves the
+    quadratic  r_A t^2 + r_B t + r_C = 0  derived from
+    |X_n - X_m|^2 = bone_length^2. Returns (depth, was_complex): the larger
+    root, or the magnitude of the complex pair when the discriminant is
+    negative (the reference's np.roots branch).
+    """
+    fx, fy = K[..., 0, 0], K[..., 1, 1]
+    U0, V0 = K[..., 0, 2], K[..., 1, 2]
+    n, m = bone
+    Un, Vn, Zn = (pre_2d_kpt[..., n, i] for i in range(3))
+    Um, Vm, Zm = (pre_2d_kpt[..., m, i] for i in range(3))
+
+    Unm = (Un - Um) / fx
+    Un0 = (Un - U0) / fx
+    Um0 = (Um - U0) / fx
+    Vnm = (Vn - Vm) / fy
+    Vn0 = (Vn - V0) / fy
+    Vm0 = (Vm - V0) / fy
+
+    r_A = Unm ** 2 + Vnm ** 2
+    r_B = 2.0 * (Unm * (Un0 * Zn - Um0 * Zm) + Vnm * (Vn0 * Zn - Vm0 * Zm))
+    r_C = ((Un0 * Zn - Um0 * Zm) ** 2 + (Vn0 * Zn - Vm0 * Zm) ** 2
+           + (Zn - Zm) ** 2 - bone_length ** 2)
+
+    disc = r_B ** 2 - 4.0 * r_A * r_C
+    was_complex = disc < 0
+    sqrt_disc = jnp.sqrt(jnp.abs(disc))
+    root_hi = (-r_B + sqrt_disc) / (2.0 * r_A)
+    root_lo = (-r_B - sqrt_disc) / (2.0 * r_A)
+    real_depth = jnp.maximum(root_hi, root_lo)
+    # complex pair: |root| = sqrt(C/A) (product of conjugate roots)
+    complex_mag = jnp.sqrt(jnp.abs(r_C / r_A))
+    return jnp.where(was_complex, complex_mag, real_depth), was_complex

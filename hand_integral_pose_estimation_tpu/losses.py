@@ -136,3 +136,25 @@ def combined_loss(coord_out: jnp.ndarray, coord_teacher: jnp.ndarray,
         loss_supervised=loss_sup,
         loss_unsupervised=loss_unsup,
     )
+
+
+def camera_space_diagnostic(coord_out: jnp.ndarray, gt_label: jnp.ndarray,
+                            joint_cam_normalized: jnp.ndarray,
+                            trans_inv: jnp.ndarray, tprime: jnp.ndarray,
+                            K: jnp.ndarray, R: jnp.ndarray,
+                            patch_width: int = 224,
+                            patch_height: int = 224):
+    """Camera-space error diagnostic (loss.py:207-277 `JointLocationLoss2`):
+    round-trips both the prediction and the GT label through
+    patch->image->camera and measures the squared error in the normalised
+    camera frame. Returns (loss_sum, label_consistency) where
+    `label_consistency` is the max |GT-label round trip - joint_cam_normalized|
+    (the quantity the reference asserts to 1e-6 at loss.py:259-262).
+    Pure device math — no host round trip, not part of the gradient."""
+    pred_cam = lbl.patch_label_to_camera(coord_out, trans_inv, tprime, K, R,
+                                         patch_width, patch_height)
+    gt_cam = lbl.patch_label_to_camera(gt_label, trans_inv, tprime, K, R,
+                                       patch_width, patch_height)
+    consistency = jnp.abs(gt_cam - joint_cam_normalized).max()
+    sq = jnp.sum((joint_cam_normalized - pred_cam) ** 2, axis=-1)
+    return jax.lax.stop_gradient(sq.sum()), jax.lax.stop_gradient(consistency)

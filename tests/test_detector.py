@@ -263,3 +263,49 @@ class TestFasterRCNN:
         crop = detect_hand_crop_bbox(model, variables, img, cfg)
         assert crop.shape == (2, 4)
         assert bool(jnp.isfinite(crop).all())
+
+
+class TestDetectorData:
+    def test_gt_bbox_and_batch(self, rng):
+        from hand_integral_pose_estimation_tpu.data.freihand import (
+            SyntheticFreiHand,
+        )
+        from hand_integral_pose_estimation_tpu.detect.data import (
+            build_detector_batch,
+        )
+        ds = SyntheticFreiHand(n=8)
+        batch = build_detector_batch(ds, np.arange(4))
+        assert batch.gt_boxes.shape == (4, 1, 4)
+        assert (batch.gt_boxes[:, 0, 2] > batch.gt_boxes[:, 0, 0]).all()
+        assert batch.gt_valid.all() and (batch.gt_classes[:, 0] == 1).all()
+
+    def test_voc_ap_perfect_detections(self):
+        from hand_integral_pose_estimation_tpu.detect.data import (
+            evaluate_detections,
+        )
+        gt = [np.array([[10.0, 10, 50, 50]]), np.array([[20.0, 20, 80, 80]])]
+        det = [g.copy() for g in gt]
+        scores = [np.array([0.9]), np.array([0.8])]
+        out = evaluate_detections(det, scores, gt)
+        np.testing.assert_allclose(out["ap"], 1.0)
+
+    def test_voc_ap_with_false_positives(self):
+        from hand_integral_pose_estimation_tpu.detect.data import (
+            evaluate_detections,
+        )
+        gt = [np.array([[10.0, 10, 50, 50]])]
+        det = [np.array([[10.0, 10, 50, 50], [200.0, 200, 220, 220]])]
+        scores = [np.array([0.9, 0.95])]  # FP outranks the TP
+        out = evaluate_detections(det, scores, gt)
+        assert 0.0 < out["ap"] < 1.0
+
+    def test_voc_ap_missed_gt_lowers_recall(self):
+        from hand_integral_pose_estimation_tpu.detect.data import (
+            evaluate_detections,
+        )
+        gt = [np.array([[10.0, 10, 50, 50], [100.0, 100, 150, 150]])]
+        det = [np.array([[10.0, 10, 50, 50]])]
+        scores = [np.array([0.9])]
+        out = evaluate_detections(det, scores, gt)
+        np.testing.assert_allclose(out["recall"][-1], 0.5)
+        np.testing.assert_allclose(out["ap"], 0.5)

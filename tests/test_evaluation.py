@@ -149,3 +149,34 @@ class TestChallengeDump:
         # bin: auc = 1 - 1/(2*(steps-1))
         np.testing.assert_allclose(out["xyz_al_auc3d"], 1.0, atol=0.011)
         assert out["xyz_al_mean3d_cm"] < 1e-5
+
+
+class TestAbsoluteDepth:
+    def test_recovers_true_depth(self, rng):
+        """Forward-project joints with known root depth, strip the absolute
+        depth, and solve it back (FreiHand.py:86-139 contract)."""
+        from hand_integral_pose_estimation_tpu.evaluation.metrics import (
+            estimate_absolute_depth,
+        )
+        from hand_integral_pose_estimation_tpu import geometry as geo
+        K = jnp.asarray([[531.9, 0, 112.], [0, 532.2, 112.], [0, 0, 1.]])
+        joints = jnp.asarray(np.array([0., 0., 0.45])
+                             + rng.uniform(-0.03, 0.03, (21, 3)))
+        uv, z_mm, _ = geo.project_points(joints, jnp.eye(3), K)
+        z_root = z_mm[9]
+        rel = jnp.stack([uv[:, 0], uv[:, 1], z_mm - z_root], -1)
+        bone = float(jnp.linalg.norm((joints[9] - joints[10])) * 1000)
+        depth, was_complex = estimate_absolute_depth(bone, K, rel)
+        assert not bool(was_complex)
+        np.testing.assert_allclose(float(depth), float(z_root), rtol=1e-4)
+
+
+class TestCameraDiagnostic:
+    def test_zero_for_perfect_prediction(self, rng):
+        from hand_integral_pose_estimation_tpu import losses
+        batch = _make_batch(rng, B=2)
+        loss, consistency = losses.camera_space_diagnostic(
+            batch.label, batch.label, batch.joint_cam_normalized,
+            batch.trans_inv, batch.tprime, batch.K, batch.R)
+        assert float(loss) < 1e-10
+        assert float(consistency) < 1e-6  # the loss.py:259-262 assert
