@@ -151,9 +151,10 @@ def _integral_kernel(hm_ref, mask_ref, out_ref, m_out_ref, s_out_ref,
         s_out_ref[0, 0, :] = s
 
 
-def _pick_tile(hw: int) -> int:
-    for tile in (1024, 784, 512, 448, 392, 256, 196, 128, 112, 64, 56, 49, 32, 16, 8):
-        if hw % tile == 0 and tile <= hw:
+def _pick_tile(hw: int, max_tile: int = 1024) -> int:
+    for tile in (1024, 784, 512, 448, 392, 256, 196, 128, 112, 64, 56, 49,
+                 32, 16, 8):
+        if tile <= max_tile and hw % tile == 0 and tile <= hw:
             return tile
     return hw
 
@@ -229,11 +230,89 @@ def _fwd(heatmap_nhwc, num_joints, depth, impl, interpret):
     return coords, (heatmap_nhwc, m, s, coords)
 
 
+def _integral_bwd_kernel(hm_ref, mvec_ref, t_ref, a_ref, b_ref, out_ref,
+                         *, width, tile):
+    """One-pass backward: grad[hw, c] = exp(h - m_c) * (T_c + A_c*gx(hw)
+    + B_c*gy(hw)) with all per-channel constants folded in upstream."""
+    t = pl.program_id(1)
+    x = hm_ref[0].astype(jnp.float32)                           # (tile, C)
+    hw = (t * tile
+          + jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0))
+    col = (hw % width).astype(jnp.float32)      # raw units; scales live in A/B
+    row = (hw // width).astype(jnp.float32)
+    e = jnp.exp(x - mvec_ref[0, 0][None, :])
+    out_ref[0] = (e * (t_ref[0, 0][None, :]
+                       + a_ref[0, 0][None, :] * col
+                       + b_ref[0, 0][None, :] * row)).astype(out_ref.dtype)
+
+
+def _softmax_integral_bwd_pallas(heatmap_nhwc, m, s, coords, cot,
+                                 num_joints, depth, interpret=False):
+    """Pallas single-pass VJP. Per-channel constants (tiny, XLA):
+    with j = c // depth, d = c % depth and gy in raw row units (scaled into
+    A/B/T), grad = p * sum_a cot_a (g_a - c_a) expands to
+    exp(h - m_j)/s_j * [cotx*(gx - cx) + coty*(gy/H - 0.5 - cy)
+    + cotz*(gz_c - cz)]."""
+    B, H, W, C = heatmap_nhwc.shape
+    J = num_joints
+    jidx = jnp.arange(C) // depth                               # (C,)
+    gz = (jnp.arange(C) % depth).astype(jnp.float32) / depth - 0.5
+    mvec = m[:, jidx]                                           # (B, C)
+    svec = s[:, jidx]
+    cotx = cot[..., 0][:, jidx]
+    coty = cot[..., 1][:, jidx]
+    cotz = cot[..., 2][:, jidx]
+    cx = coords[..., 0][:, jidx]
+    cy = coords[..., 1][:, jidx]
+    cz = coords[..., 2][:, jidx]
+    T = (cotx * (-0.5 - cx) + coty * (-0.5 - cy)
+         + cotz * (gz[None, :] - cz)) / svec
+    A = cotx / (svec * W)
+    Bc = coty / (svec * H)
+
+    HW = H * W
+    # smaller tile than the forward: the bwd block carries input + output +
+    # the exp intermediate in VMEM simultaneously
+    tile = _pick_tile(HW, max_tile=392)
+    hm = heatmap_nhwc.reshape(B, HW, C)
+    # per-channel constants as (B, 1, C) so the last two block dims match
+    # the array dims (Mosaic block constraint)
+    mvec, T, A, Bc = (v[:, None, :] for v in (mvec, T, A, Bc))
+    kernel = functools.partial(_integral_bwd_kernel, width=W, tile=tile)
+    vec_spec = pl.BlockSpec((1, 1, C), lambda b, t: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grad = pl.pallas_call(
+        kernel,
+        grid=(B, HW // tile),
+        in_specs=[
+            pl.BlockSpec((1, tile, C), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            vec_spec, vec_spec, vec_spec, vec_spec,
+        ],
+        out_specs=pl.BlockSpec((1, tile, C), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, HW, C), heatmap_nhwc.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=5 * B * HW * C,
+            bytes_accessed=2 * B * HW * C * heatmap_nhwc.dtype.itemsize,
+            transcendentals=B * HW * C,
+        ),
+    )(hm, mvec, T, A, Bc)
+    return grad.reshape(B, H, W, C)
+
+
 def _bwd(num_joints, depth, impl, interpret, res, cot):
     """Closed-form soft-argmax Jacobian: with p = softmax(h) and
     c_a = sum_i p_i g_ai (g in units of normalised coords),
-    dL/dh_i = p_i * sum_a cot_a (g_ai - c_a). One fused elementwise pass."""
+    dL/dh_i = p_i * sum_a cot_a (g_ai - c_a). One fused elementwise pass
+    (single-pass Pallas kernel on the pallas path)."""
     heatmap_nhwc, m, s, coords = res
+    if impl == "pallas":
+        grad = _softmax_integral_bwd_pallas(
+            heatmap_nhwc, m, s, coords, cot, num_joints, depth,
+            interpret=interpret)
+        return (grad,)
     B, H, W, C = heatmap_nhwc.shape
     acc_dt = jnp.promote_types(heatmap_nhwc.dtype, jnp.float32)
     h = heatmap_nhwc.reshape(B, H, W, num_joints, depth).astype(acc_dt)
