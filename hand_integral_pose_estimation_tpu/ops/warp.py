@@ -72,7 +72,9 @@ def warp_perspective(image: jnp.ndarray, H_mat: jnp.ndarray,
 
 def warp_perspective_twopass(image: jnp.ndarray, H_mat: jnp.ndarray,
                              out_hw: tuple[int, int],
-                             inverse: bool = False) -> jnp.ndarray:
+                             inverse: bool = False,
+                             precision=jax.lax.Precision.HIGHEST
+                             ) -> jnp.ndarray:
     """Exact homography warp as two separable 1D resamples (Catmull-Smith),
     each a dense bilinear-weight matmul — no gathers, all MXU work. This is
     the TPU-fast path: XLA's gather lowering makes :func:`warp_perspective`
@@ -118,7 +120,7 @@ def warp_perspective_twopass(image: jnp.ndarray, H_mat: jnp.ndarray,
     Wa = jnp.maximum(0.0, 1.0 - jnp.abs(u_star[..., None] - xs))
     # tmp[s, o, ch] = sum_i Wa[s, o, i] * img[s, i, ch]
     tmp = jnp.einsum("soi,sic->soc", Wa, image.astype(dt),
-                     precision=jax.lax.Precision.HIGHEST)
+                     precision=precision)
 
     yo = jnp.arange(Ho, dtype=dt)[:, None]            # (Ho, 1)
     denomB = g * xo + h * yo + 1.0
@@ -126,27 +128,34 @@ def warp_perspective_twopass(image: jnp.ndarray, H_mat: jnp.ndarray,
     vs = jnp.arange(Hs, dtype=dt)
     Wb = jnp.maximum(0.0, 1.0 - jnp.abs(v_star[..., None] - vs))  # (Ho,Wo,Hs)
     out = jnp.einsum("yov,voc->yoc", Wb, tmp,
-                     precision=jax.lax.Precision.HIGHEST)
+                     precision=precision)
     return out
 
 
 def warp_perspective_batch(images: jnp.ndarray, H_mats: jnp.ndarray,
                            out_hw: tuple[int, int],
                            inverse: bool = False,
-                           method: str = "auto") -> jnp.ndarray:
+                           method: str = "auto",
+                           precision=None) -> jnp.ndarray:
     """(B, H, W, C) x (B, 3, 3) -> (B, Ho, Wo, C).
 
     method: "gather" (fast on CPU), "twopass" (fast on TPU — sequential scan
     over the batch keeps the per-image weight tensors transient), or "auto".
+    precision: matmul precision of the twopass path. None = DEFAULT (bf16
+    multiplies, fp32 accumulate — ~0.2% pixel error, 6x less MXU work) on
+    TPU and HIGHEST elsewhere; pass an explicit jax.lax.Precision to pin.
     """
+    on_tpu = any(dev.platform == "tpu" for dev in jax.devices())
     if method == "auto":
-        on_tpu = any(dev.platform == "tpu" for dev in jax.devices())
         method = "twopass" if on_tpu else "gather"
+    if precision is None:
+        precision = (jax.lax.Precision.DEFAULT if on_tpu
+                     else jax.lax.Precision.HIGHEST)
     if method == "gather":
         return jax.vmap(
             lambda im, hm: warp_perspective(im, hm, out_hw, inverse)
         )(images, H_mats)
     return jax.lax.map(
         lambda args: warp_perspective_twopass(args[0], args[1], out_hw,
-                                              inverse),
+                                              inverse, precision),
         (images, H_mats))
