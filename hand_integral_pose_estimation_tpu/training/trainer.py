@@ -26,6 +26,9 @@ from hand_integral_pose_estimation_tpu.training.train_step import (
     make_train_step,
 )
 from hand_integral_pose_estimation_tpu.utils.logger import color_logger
+from hand_integral_pose_estimation_tpu.utils.metrics_writer import (
+    MetricsWriter,
+)
 from hand_integral_pose_estimation_tpu.utils.timers import Timer
 
 
@@ -50,6 +53,12 @@ class Trainer:
     integral_impl: str = "auto"
     continue_train: bool = False
     seed: int = 0
+    #: fuse this many optimisation steps into one device program (lax.scan):
+    #: hides host round-trip latency and dispatch overhead
+    scan_steps: int = 1
+    metrics_dir: Optional[str] = None
+    #: write a jax.profiler trace of the first few steps of the first epoch
+    profile_dir: Optional[str] = None
 
     def __post_init__(self):
         self.logger = color_logger(self.log_dir, "train_logs.txt")
@@ -79,7 +88,10 @@ class Trainer:
             teacher_apply=self.teacher_apply, panet_apply=self.panet_apply,
             integral_impl=self.integral_impl)
         self._preprocess = jax.jit(self._make_preprocess())
+        self._scan_train = jax.jit(self._make_scan_train())
 
+        self.metrics = (MetricsWriter(self.metrics_dir)
+                        if self.metrics_dir else None)
         self.read_timer = Timer()
         self.step_timer = Timer()
         self.total_timer = Timer()
@@ -95,30 +107,77 @@ class Trainer:
                 teacher_cam_normalized, ref_bone_len, acfg, hw)
         return fn
 
+    def _make_scan_train(self):
+        """One device program running `scan_steps` preprocess+train steps
+        over stacked host batches — the whole chunk is a single dispatch."""
+        preprocess = self._make_preprocess()
+        step = None
+
+        def fn(state, keys, stacked_host):
+            def body(state, xs):
+                key, host = xs
+                batch = preprocess(key, **host)
+                state, metrics = self.train_step(state, batch)
+                return state, metrics
+            return jax.lax.scan(body, state, (keys, stacked_host))
+        return fn
+
+    def _host_batch_kwargs(self, rng):
+        host = self.dataset.host_batch(
+            self.dataset.sample_indices(rng, self.cfg.train.batch_size))
+        return {
+            "image": host["image"],
+            "joint_cam": host["joint_cam"],
+            "K": host["K"],
+            "labelled": host["labelled"],
+            "ref_bone_len": host["ref_bone_len"],
+            "bbox_detector": host["bbox_detector"],
+            "teacher_cam_normalized": host["teacher_cam_normalized"],
+        }
+
     def run_epoch(self, epoch: int, num_steps: Optional[int] = None,
                   log_every: int = 20) -> dict:
         num_steps = num_steps or self.steps_per_epoch
         rng = np.random.RandomState(self.seed * 100003 + epoch)
         key = jax.random.PRNGKey(self.seed * 131 + epoch)
         last_metrics = {}
-        for itr in range(num_steps):
+        k = max(1, self.scan_steps)
+        profiling = False
+        if self.profile_dir and epoch == self.start_epoch:
+            jax.profiler.start_trace(self.profile_dir)
+            profiling = True
+        for itr in range(0, num_steps, k):
             self.total_timer.tic()
             self.read_timer.tic()
-            host = self.dataset.host_batch(
-                self.dataset.sample_indices(
-                    rng, self.cfg.train.batch_size))
+            chunk = [self._host_batch_kwargs(rng)
+                     for _ in range(min(k, num_steps - itr))]
             self.read_timer.toc()
 
             self.step_timer.tic()
             key, sub = jax.random.split(key)
-            batch = self._preprocess(
-                sub, host["image"], host["joint_cam"], host["K"],
-                host["labelled"], host["ref_bone_len"],
-                host["bbox_detector"], host["teacher_cam_normalized"])
-            self.state, metrics = self.train_step(self.state, batch)
+            if k == 1:
+                batch = self._preprocess(sub, **chunk[0])
+                self.state, metrics = self.train_step(self.state, batch)
+            else:
+                keys = jax.random.split(sub, len(chunk))
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: np.stack(xs) if xs[0] is not None else None,
+                    *chunk, is_leaf=lambda x: x is None or not isinstance(
+                        x, dict))
+                self.state, metrics = self._scan_train(self.state, keys,
+                                                       stacked)
+                metrics = {k2: v[-1] for k2, v in metrics.items()}
             jax.block_until_ready(metrics["loss"])
             self.step_timer.toc()
             self.total_timer.toc()
+            if profiling and itr >= 2 * k:
+                jax.profiler.stop_trace()
+                profiling = False
+            if self.metrics is not None:
+                self.metrics.write(int(self.state.step),
+                                   {k2: float(v)
+                                    for k2, v in metrics.items()},
+                                   prefix="train")
 
             if itr % log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
@@ -134,6 +193,8 @@ class Trainer:
                     self.step_timer.average_time,
                     sec_per_itr * num_steps / 3600.0)
             last_metrics = metrics
+        if profiling:
+            jax.profiler.stop_trace()
         return {k: float(v) for k, v in last_metrics.items()}
 
     def fit(self, end_epoch: Optional[int] = None,

@@ -140,3 +140,30 @@ class TestDataParallel:
         for a, b in zip(l1, l8):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2.5 * cfg.train.lr)
+
+
+class TestScanSteps:
+    def test_scan_trainer_matches_loss_progression(self):
+        cfg = small_config()
+        ds = SyntheticFreiHand(n=8, image_hw=(64, 64), seed=1)
+        t = Trainer(cfg=cfg, dataset=ds, model_dir=tempfile.mkdtemp(),
+                    integral_impl="xla", scan_steps=4, seed=3)
+        m0 = t.run_epoch(0, num_steps=4, log_every=100)
+        for e in range(1, 5):
+            m = t.run_epoch(e, num_steps=4, log_every=100)
+        assert np.isfinite(m["loss"])
+        assert m["loss"] < m0["loss"]
+        assert int(t.state.step) == 20
+
+    def test_metrics_writer_output(self):
+        import json
+        cfg = small_config()
+        ds = SyntheticFreiHand(n=8, image_hw=(64, 64), seed=1)
+        d = tempfile.mkdtemp()
+        t = Trainer(cfg=cfg, dataset=ds, model_dir=tempfile.mkdtemp(),
+                    integral_impl="xla", metrics_dir=d)
+        t.run_epoch(0, num_steps=2, log_every=100)
+        lines = open(os.path.join(d, "events.jsonl")).read().splitlines()
+        assert len(lines) == 2
+        rec = json.loads(lines[-1])
+        assert "train/loss" in rec and np.isfinite(rec["train/loss"])
