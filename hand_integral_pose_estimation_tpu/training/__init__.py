@@ -23,3 +23,9 @@ from hand_integral_pose_estimation_tpu.training.panet_trainer import (  # noqa: 
     PANetTrainResult,
     train_panet,
 )
+from hand_integral_pose_estimation_tpu.training.detector_trainer import (  # noqa: F401
+    DetectorTrainState,
+    create_detector_train_state,
+    make_detector_optimizer,
+    make_detector_train_step,
+)

@@ -309,3 +309,28 @@ class TestDetectorData:
         out = evaluate_detections(det, scores, gt)
         np.testing.assert_allclose(out["recall"][-1], 0.5)
         np.testing.assert_allclose(out["ap"], 0.5)
+
+
+class TestDetectorTrainer:
+    def test_train_step_runs_and_updates(self, tiny_detector, rng):
+        from hand_integral_pose_estimation_tpu.training.detector_trainer import (
+            create_detector_train_state,
+            make_detector_optimizer,
+            make_detector_train_step,
+        )
+        model, _, cfg = tiny_detector
+        tx = make_detector_optimizer(lr=1e-3)
+        state, tx = create_detector_train_state(
+            model, jax.random.PRNGKey(0), sample_hw=(64, 64), tx=tx)
+        step = make_detector_train_step(model, tx)
+
+        imgs = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32) * 255)
+        gt = jnp.asarray([[[12.0, 12.0, 52.0, 52.0]]])
+        losses = []
+        for i in range(3):
+            state, metrics = step(state, imgs, gt, jnp.asarray([[1]]),
+                                  jnp.asarray([[True]]),
+                                  jax.random.PRNGKey(i))
+            assert np.isfinite(float(metrics["loss"]))
+            losses.append(float(metrics["loss"]))
+        assert int(state.step) == 3
