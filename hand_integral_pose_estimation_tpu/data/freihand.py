@@ -203,3 +203,30 @@ def batch_iterator(dataset, batch_size: int, steps: int,
     rng = np.random.RandomState(seed)
     for _ in range(steps):
         yield dataset.host_batch(dataset.sample_indices(rng, batch_size))
+
+
+def apply_filtered_labels(dataset: FreiHandDataset, npz_path: str
+                          ) -> FreiHandDataset:
+    """Attach a filtered pseudo-label db (written by
+    cli/generate_teacher_labels.py) to a dataset, dropping rejected samples —
+    the equivalent of FreiHand.load_filtered_data (FreiHand.py:343-371).
+    Records gain `teacher_cam_normalized`/`teacher_tprime`; kept order
+    matches the generation sweep (sequential over the sorted records).
+    """
+    db = np.load(npz_path)
+    keep = db["keep"]
+    jcn = db["joint_cam_normalized"]
+    tprime = db["tprime"]
+    n = min(len(keep), len(dataset.records))
+    new_records = []
+    for i in range(n):
+        if not keep[i]:
+            continue
+        r = dataset.records[i]
+        r.teacher_cam_normalized = jcn[i]
+        r.teacher_tprime = float(tprime[i])
+        new_records.append(r)
+    dataset.records = new_records
+    dataset.num_labelled = sum(r.labelled for r in new_records)
+    dataset.num_unlabelled = len(new_records) - dataset.num_labelled
+    return dataset

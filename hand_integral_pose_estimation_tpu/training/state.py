@@ -61,3 +61,21 @@ def create_train_state(model, rng: jax.Array, sample_input: jnp.ndarray,
         batch_stats=batch_stats,
         opt_state=tx.init(params),
     ), tx
+
+
+def compare_param_trees(a, b) -> float:
+    """Max absolute parameter difference between two pytrees — the
+    teacher-vs-student weight check (common/base.py:73-86 `compare_models`).
+    Returns +inf on structure mismatch."""
+    import numpy as np
+
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    if len(la) != len(lb):
+        return float("inf")
+    diffs = []
+    for x, y in zip(la, lb):
+        if x.shape != y.shape:
+            return float("inf")
+        diffs.append(float(jnp.abs(x - y).max()))
+    return max(diffs) if diffs else 0.0

@@ -334,3 +334,43 @@ class TestDetectorTrainer:
             assert np.isfinite(float(metrics["loss"]))
             losses.append(float(metrics["loss"]))
         assert int(state.step) == 3
+
+
+class TestTwoStagePipeline:
+    def test_end_to_end(self, tiny_detector, rng):
+        """Raw image -> detect -> crop -> pose -> metric joints in ONE jitted
+        program (BASELINE config #4 path)."""
+        import dataclasses
+        from hand_integral_pose_estimation_tpu.config import (
+            Config, ModelConfig,
+        )
+        from hand_integral_pose_estimation_tpu.inference import (
+            TwoStagePipeline,
+        )
+        from hand_integral_pose_estimation_tpu.models import get_pose_net
+
+        det_model, det_vars, det_cfg = tiny_detector
+        cfg = Config(
+            model=ModelConfig(resnet_type=18, input_shape=(64, 64),
+                              output_shape=(16, 16), depth_dim=8,
+                              compute_dtype="float32"),
+            detector=det_cfg)
+        pose = get_pose_net(cfg.model)
+        pose_vars = pose.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 64, 64, 3)))
+
+        pipe = TwoStagePipeline(cfg, pose, pose_vars, det_model, det_vars)
+        imgs = jnp.asarray(rng.randint(0, 255, (2, 64, 64, 3)), jnp.uint8)
+        K = jnp.broadcast_to(
+            jnp.asarray([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1.0]]),
+            (2, 3, 3))
+        out = pipe(imgs, K, jnp.ones(2))
+        assert out.joints_cam.shape == (2, 21, 3)
+        assert bool(jnp.isfinite(out.joints_cam).all())
+        assert out.crop_bbox.shape == (2, 4)
+        assert bool((out.crop_bbox[:, 2:] > 0).all())  # positive crop size
+        assert bool(jnp.isfinite(out.tprime).all())
+        # (the bone-rescale contract itself is covered by
+        # TestChallengeDump.test_pred_json_structure with real geometry; an
+        # untrained net decodes all joints to the same point, which makes an
+        # exact bone assertion fp-degenerate here)
