@@ -110,10 +110,17 @@ class FreiHandDataset:
         return len(self.records)
 
     def read_image(self, rec: SampleRecord) -> np.ndarray:
-        import cv2
-        img = cv2.imread(rec.img_path,
-                         cv2.IMREAD_COLOR | cv2.IMREAD_IGNORE_ORIENTATION)
-        return img[:, :, ::-1]  # BGR -> RGB; pipeline consumes RGB
+        from hand_integral_pose_estimation_tpu.data.native_loader import (
+            decode_jpeg,
+        )
+        return decode_jpeg(rec.img_path)  # RGB; native C++ decode w/ cv2 fallback
+
+    def host_batch_native(self, loader, indices: np.ndarray) -> dict:
+        """Batch via the C++ prefetch loader (data/native_loader.py):
+        submit/wait double buffering happens in the caller's loop."""
+        recs = [self.records[i] for i in indices]
+        loader.submit([r.img_path for r in recs])
+        return stack_host_batch(recs, list(loader.wait()))
 
     # -- biased batch sampling (dataset.py:89-105) --------------------------
     def sample_indices(self, rng: np.random.RandomState, batch_size: int,

@@ -45,6 +45,14 @@ def scale_by_ref_bone(kpt: jnp.ndarray, ref_bone_len: jnp.ndarray,
     return kpt * alpha[..., None, None]
 
 
+def scale_by_root_depth(kpt: jnp.ndarray, root_depth: jnp.ndarray,
+                        tprime: jnp.ndarray) -> jnp.ndarray:
+    """The reference's scale_result(method='normalize')
+    (FreiHand.py:661-666): undo the tprime normalisation with the true root
+    depth, kpt * root_depth / tprime."""
+    return kpt * (root_depth / tprime)[..., None, None]
+
+
 class EvalResult(NamedTuple):
     pa_mpjpe: jnp.ndarray         # scalar, protocol #1 (FreiHand.py:806)
     mpjpe: jnp.ndarray            # scalar, protocol #2 (FreiHand.py:807)

@@ -30,10 +30,14 @@ class DetectorTrainState(NamedTuple):
 def make_detector_optimizer(lr: float = 1e-3, momentum: float = 0.9,
                             weight_decay: float = 5e-4,
                             decay_step: int = 50000,
-                            decay_factor: float = 0.1):
+                            decay_factor: float = 0.1,
+                            clip_norm: float = 10.0):
+    """SGD + momentum + weight decay + global-norm gradient clipping (the
+    reference clips via net_utils.clip_gradient)."""
     sched = optax.exponential_decay(lr, decay_step, decay_factor,
                                     staircase=True)
     return optax.chain(
+        optax.clip_by_global_norm(clip_norm),
         optax.add_decayed_weights(weight_decay),
         optax.sgd(sched, momentum=momentum),
     )
