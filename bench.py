@@ -51,15 +51,22 @@ def measure_tpu() -> float:
     ref_len = jnp.ones((BATCH,), jnp.float32)
     variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
 
+    from hand_integral_pose_estimation_tpu.ops.fused_head import (
+        head_projection_integral,
+    )
+
     @functools.partial(jax.jit, static_argnums=(6,))
     def e2e_loop(params, batch_stats, images, joints, K, ref_len, n):
         def body(i, imgs):
             batch = pipeline.make_eval_batch(imgs, joints, K, None, ref_len,
                                              cfg.augment,
                                              cfg.model.input_shape)
-            hm = net.apply({"params": params, "batch_stats": batch_stats},
-                           batch.image, train=False)
-            coords = net.decode(hm, impl="auto")
+            feats = net.apply({"params": params, "batch_stats": batch_stats},
+                              batch.image, train=False,
+                              return_features=True)
+            Wp, bp = net.final_projection(params)
+            coords = head_projection_integral(
+                feats, Wp, bp, cfg.model.num_joints, cfg.model.depth_dim)
             # data dependency: next iteration's input depends on this output
             return imgs + 1e-9 * jnp.sum(coords)
         return jax.lax.fori_loop(0, n, body, images)

@@ -37,7 +37,8 @@ class DeconvHead(nn.Module):
     bn_axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False,
+                 return_features: bool = False):
         for i in range(self.num_layers):
             # 4x4 stride-2 transposed conv, SAME padding == torch's
             # (k=4, s=2, p=1): exact 2x upsample
@@ -48,6 +49,11 @@ class DeconvHead(nn.Module):
                 name=f"deconv{i}")(x)
             x = _Norm(self.dtype, self.bn_axis_name, train)(x)
             x = nn.relu(x)
+        if return_features:
+            # pre-projection activations for the fused projection+integral
+            # kernel (ops/fused_head.py); the `final` params are consumed by
+            # that kernel instead (init with the default path first)
+            return x
         x = nn.Conv(self.num_joints * self.depth_dim, (1, 1),
                     dtype=self.dtype,
                     kernel_init=normal(stddev=0.001), bias_init=zeros,
@@ -62,7 +68,8 @@ class ResPoseNet(nn.Module):
     bn_axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False,
+                 return_features: bool = False):
         dtype = jnp.dtype(self.cfg.compute_dtype)
         x = x.astype(dtype)
         feats = ResNetBackbone(self.cfg.resnet_type, dtype,
@@ -71,8 +78,16 @@ class ResPoseNet(nn.Module):
         hm = DeconvHead(self.cfg.num_joints, self.cfg.depth_dim,
                         self.cfg.deconv_channels, self.cfg.num_deconv_layers,
                         dtype, self.bn_axis_name, name="head")(
-                            feats, train=train)
+                            feats, train=train,
+                            return_features=return_features)
         return hm
+
+    def final_projection(self, params):
+        """(W (F, J*D), b (J*D,)) of the heatmap projection, for
+        ops/fused_head.head_projection_integral."""
+        k = params["head"]["final"]["kernel"]
+        b = params["head"]["final"]["bias"]
+        return k.reshape(k.shape[-2], k.shape[-1]), b
 
     def decode(self, heatmap, impl: str = "auto"):
         """Heatmap -> (B, J, 3) normalised coords (fused soft-argmax)."""

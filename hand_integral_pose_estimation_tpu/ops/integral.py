@@ -152,7 +152,8 @@ def _integral_kernel(hm_ref, mask_ref, out_ref, m_out_ref, s_out_ref,
 
 
 def _pick_tile(hw: int, max_tile: int = 1024) -> int:
-    for tile in (1024, 784, 512, 448, 392, 256, 196, 128, 112, 64, 56, 49,
+    # candidates are sublane-aligned (multiples of 8, Mosaic block rule)
+    for tile in (1024, 784, 512, 448, 392, 256, 224, 128, 112, 64, 56,
                  32, 16, 8):
         if tile <= max_tile and hw % tile == 0 and tile <= hw:
             return tile

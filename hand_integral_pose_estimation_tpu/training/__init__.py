@@ -16,6 +16,7 @@ from hand_integral_pose_estimation_tpu.training.checkpoint import (  # noqa: F40
     save_checkpoint,
 )
 from hand_integral_pose_estimation_tpu.training.trainer import (  # noqa: F401
+    Evaluator,
     Tester,
     Trainer,
 )

@@ -23,6 +23,9 @@ import jax.numpy as jnp
 from hand_integral_pose_estimation_tpu import losses
 from hand_integral_pose_estimation_tpu.config import Config
 from hand_integral_pose_estimation_tpu.data.pipeline import Batch
+from hand_integral_pose_estimation_tpu.ops.fused_head import (
+    head_projection_integral,
+)
 from hand_integral_pose_estimation_tpu.ops.integral import softmax_integral
 from hand_integral_pose_estimation_tpu.training.state import TrainState
 
@@ -30,7 +33,8 @@ from hand_integral_pose_estimation_tpu.training.state import TrainState
 def make_train_step(model, tx, cfg: Config,
                     teacher_apply: Optional[Callable] = None,
                     panet_apply: Optional[Callable] = None,
-                    integral_impl: str = "auto"):
+                    integral_impl: str = "auto",
+                    fuse_head: bool = True):
     """Build the jittable train step.
 
     Args:
@@ -45,11 +49,22 @@ def make_train_step(model, tx, cfg: Config,
     D = cfg.model.depth_dim
 
     def loss_fn(params, batch_stats, batch: Batch):
-        hm, mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            batch.image, train=True, mutable=["batch_stats"],
-        )
-        coord_out = softmax_integral(hm, J, D, impl=integral_impl)
+        if fuse_head:
+            # fused projection+integral: the heatmap never leaves VMEM
+            feats, mutated = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch.image, train=True, return_features=True,
+                mutable=["batch_stats"],
+            )
+            Wp, bp = model.final_projection(params)
+            coord_out = head_projection_integral(feats, Wp, bp, J, D,
+                                                 integral_impl)
+        else:
+            hm, mutated = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch.image, train=True, mutable=["batch_stats"],
+            )
+            coord_out = softmax_integral(hm, J, D, impl=integral_impl)
 
         if teacher_apply is not None:
             coord_teacher = jax.lax.stop_gradient(
@@ -87,18 +102,28 @@ def make_train_step(model, tx, cfg: Config,
     return train_step
 
 
-def make_eval_step(model, cfg: Config, integral_impl: str = "auto"):
+def make_eval_step(model, cfg: Config, integral_impl: str = "auto",
+                   fuse_head: bool = True):
     """No-grad forward + decode, the body of main/test.py:68-143."""
     J = cfg.model.num_joints
     D = cfg.model.depth_dim
 
     @jax.jit
     def eval_step(state: TrainState, batch: Batch):
-        hm = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            batch.image, train=False,
-        )
-        coords = softmax_integral(hm, J, D, impl=integral_impl)
+        if fuse_head:
+            feats = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                batch.image, train=False, return_features=True,
+            )
+            Wp, bp = model.final_projection(state.params)
+            coords = head_projection_integral(feats, Wp, bp, J, D,
+                                              integral_impl)
+        else:
+            hm = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                batch.image, train=False,
+            )
+            coords = softmax_integral(hm, J, D, impl=integral_impl)
         loss = losses.joint_location_loss(coords, batch.label,
                                           batch.label_weight)
         return coords, loss

@@ -246,3 +246,11 @@ class Tester:
         merged = jax.tree_util.tree_map(
             lambda *xs: np.concatenate(xs), *batches)
         return coords, merged
+
+
+@dataclasses.dataclass
+class Evaluator(Tester):
+    """Evaluation-split runner (common/base.py:244-284): identical sweep to
+    Tester but over the label-free challenge split — batches carry
+    detector-derived boxes and dummy joints; downstream use
+    evaluation.evaluate_challenge on the collected coords."""

@@ -152,7 +152,7 @@ class TestShippedWeightsParity:
         fn = panet_reconstruction_fn(model, params)
         recon = fn(jnp.asarray(pts))
         mpjpe = float(jnp.linalg.norm(recon - pts, axis=-1).mean())
-        # hands are ~0.1 units across after centring; the trained prior must
-        # reconstruct far better than the trivial zero predictor
-        trivial = float(jnp.linalg.norm(pts, axis=-1).mean())
-        assert mpjpe < 0.25 * trivial, (mpjpe, trivial)
+        # regression bound: the full hand_test.npy reproduces MPJPE 0.00327
+        # through our forward (scripts/panet_test.sh); this 256-sample subset
+        # must stay in the same regime
+        assert mpjpe < 0.005, mpjpe
