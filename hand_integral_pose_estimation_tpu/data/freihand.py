@@ -167,7 +167,8 @@ class SyntheticFreiHand:
     tests and benchmarking when the FreiHAND download is absent."""
 
     def __init__(self, n: int = 256, image_hw=(224, 224), seed: int = 0,
-                 labelled_fraction: float = 0.5):
+                 labelled_fraction: float = 0.5,
+                 render_joints: bool = False):
         rng = np.random.RandomState(seed)
         self.n = n
         H, W = image_hw
@@ -179,6 +180,23 @@ class SyntheticFreiHand:
         self.joint_cam = (center
                           + rng.uniform(-0.035, 0.035, (n, 21, 3))
                           ).astype(np.float32)
+        if render_joints:
+            # paint a distinct blob at each joint's projection so the task
+            # has learnable visual structure (used by end-to-end learning
+            # validations; depth is encoded in blob brightness)
+            self.images //= 4
+            for i in range(n):
+                uvw = self.joint_cam[i] @ self.K[i].T
+                uv = uvw[:, :2] / uvw[:, 2:3]
+                zrel = self.joint_cam[i, :, 2]
+                zn = (zrel - zrel.min()) / max(float(np.ptp(zrel)), 1e-6)
+                for j in range(21):
+                    x, y = int(round(uv[j, 0])), int(round(uv[j, 1]))
+                    if 1 <= x < W - 1 and 1 <= y < H - 1:
+                        col = np.array([
+                            255 * (j % 3 == 0), 255 * (j % 3 == 1),
+                            255 * (j % 3 == 2)]) * (0.4 + 0.6 * zn[j])
+                        self.images[i, y-1:y+2, x-1:x+2] = col.astype(np.uint8)
         self.ref_bone_len = np.linalg.norm(
             self.joint_cam[:, 9] - self.joint_cam[:, 10], axis=-1)
         self.labelled = rng.random_sample(n) < labelled_fraction

@@ -192,3 +192,41 @@ class TestLosses:
         b = jnp.ones((2, 21, 3))
         np.testing.assert_allclose(losses.compute_mpjpe(a, b), np.sqrt(3.0),
                                    rtol=1e-6)
+
+
+class TestFusedHeadPath:
+    def test_eval_step_fused_matches_unfused(self, rng):
+        """model(return_features) + fused projection == full forward +
+        integral, through the real eval step."""
+        from hand_integral_pose_estimation_tpu.config import Config
+        from hand_integral_pose_estimation_tpu.data import pipeline
+        from hand_integral_pose_estimation_tpu.training import (
+            create_train_state,
+        )
+        from hand_integral_pose_estimation_tpu.training.train_step import (
+            make_eval_step,
+        )
+        cfg = Config(model=tiny_cfg())
+        net = get_pose_net(cfg.model)
+        state, _ = create_train_state(
+            net, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+            cfg.train)
+
+        imgs = jnp.asarray(np.random.RandomState(0).randint(
+            0, 255, (2, 64, 64, 3)), jnp.uint8)
+        joints = jnp.asarray(np.array([0.0, 0.0, 0.45])
+                             + np.random.RandomState(1).uniform(
+                                 -0.03, 0.03, (2, 21, 3)))
+        K = jnp.broadcast_to(jnp.asarray(
+            [[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1.0]]), (2, 3, 3))
+        batch = pipeline.make_eval_batch(imgs, joints, K, None,
+                                         jnp.ones(2), cfg.augment, (64, 64))
+
+        fused = make_eval_step(net, cfg, integral_impl="xla",
+                               fuse_head=True)
+        unfused = make_eval_step(net, cfg, integral_impl="xla",
+                                 fuse_head=False)
+        c1, l1 = fused(state, batch)
+        c2, l2 = unfused(state, batch)
+        np.testing.assert_allclose(c1, c2, atol=1e-5)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
