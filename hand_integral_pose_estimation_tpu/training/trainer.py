@@ -67,6 +67,12 @@ class Trainer:
             1, len(self.dataset) // self.cfg.train.batch_size)
         self.steps_per_epoch = steps_per_epoch
         self.tx = make_optimizer(self.cfg.train, steps_per_epoch)
+        from hand_integral_pose_estimation_tpu.training.state import (
+            multistep_schedule,
+        )
+        self._sched = multistep_schedule(
+            self.cfg.train.lr, steps_per_epoch, self.cfg.train.lr_dec_epoch,
+            self.cfg.train.lr_dec_factor)
 
         sample = jnp.zeros(
             (1, *self.cfg.model.input_shape, 3), jnp.float32)
@@ -174,9 +180,9 @@ class Trainer:
                 jax.profiler.stop_trace()
                 profiling = False
             if self.metrics is not None:
-                self.metrics.write(int(self.state.step),
-                                   {k2: float(v)
-                                    for k2, v in metrics.items()},
+                scalars = {k2: float(v) for k2, v in metrics.items()}
+                scalars["lr"] = float(self._sched(int(self.state.step)))
+                self.metrics.write(int(self.state.step), scalars,
                                    prefix="train")
 
             if itr % log_every == 0:
@@ -184,11 +190,12 @@ class Trainer:
                 sec_per_itr = self.total_timer.average_time
                 self.logger.info(
                     "epoch %d itr %d/%d loss %.5f (sup %.4f unsup %.4f) "
-                    "s_mpjpe %.4f t_mpjpe %.4f | %.3fs/itr (read %.3f "
-                    "step %.3f) %.2fh/epoch",
+                    "s_mpjpe %.4f t_mpjpe %.4f lr %.2e | %.3fs/itr "
+                    "(read %.3f step %.3f) %.2fh/epoch",
                     epoch, itr, num_steps, m["loss"], m["loss_supervised"],
                     m["loss_unsupervised"], m["student_mpjpe"],
-                    m["teacher_mpjpe"], sec_per_itr,
+                    m["teacher_mpjpe"],
+                    float(self._sched(int(self.state.step))), sec_per_itr,
                     self.read_timer.average_time,
                     self.step_timer.average_time,
                     sec_per_itr * num_steps / 3600.0)
