@@ -13,8 +13,6 @@ from typing import NamedTuple, Sequence
 
 import numpy as np
 
-from hand_integral_pose_estimation_tpu.config import Config
-
 
 def gt_bbox_from_keypoints(uv: np.ndarray, margin: float = 0.0
                            ) -> np.ndarray:

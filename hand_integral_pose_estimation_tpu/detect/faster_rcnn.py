@@ -25,7 +25,6 @@ from hand_integral_pose_estimation_tpu.detect import box_ops
 from hand_integral_pose_estimation_tpu.detect.rpn import (
     AnchorTargets,
     Proposals,
-    RPNHead,
     anchor_target_layer,
     proposal_layer,
     rpn_losses,

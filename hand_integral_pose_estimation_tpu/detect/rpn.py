@@ -10,7 +10,7 @@ top_k instead of host-side np.random.choice.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import flax.linen as nn
 import jax

@@ -9,7 +9,7 @@ the camera back-projection run in one XLA program with zero host round trips.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

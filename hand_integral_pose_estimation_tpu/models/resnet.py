@@ -10,17 +10,18 @@ feature map, no avgpool/fc, 2048 channels for R50+. Differences by design:
     per-replica statistics — `bn_axis_name=None` reproduces that);
   * `frozen_stages` / `norm_eval` support the detector's frozen-BN contract
     (lib/model_rcnn/faster_rcnn/resnet.py:261-284);
-  * init: conv weights ~ N(0, 0.001), BN scale=1 bias=0, matching the
-    reference's scratch init (resnet.py:32-38).
+  * init: He fan-out for convs (the reference's N(0, 0.001) is a placeholder
+    that is always overwritten by ImageNet weights, resnet.py:70-76; see the
+    note at `_conv_init`), BN scale=1 bias=0.
 """
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
-from jax.nn.initializers import normal
+from jax.nn.initializers import variance_scaling
 
 RESNET_SPECS = {
     18: ("basic", (2, 2, 2, 2)),
@@ -30,7 +31,14 @@ RESNET_SPECS = {
     152: ("bottleneck", (3, 8, 36, 3)),
 }
 
-_conv_init = normal(stddev=0.001)
+# NOTE: the reference initialises convs with N(0, 0.001) (resnet.py:32-38)
+# but immediately overwrites them with ImageNet model-zoo weights
+# (resnet.py:70-76) — the tiny init is never trained from. Without
+# downloadable pretrained weights we default to He fan-out init (the
+# torchvision scheme) for from-scratch trainability; the deconv head keeps
+# the reference's N(0, 0.001) (model.py:46-56, applied on top of
+# pretraining).
+_conv_init = variance_scaling(2.0, "fan_out", "truncated_normal")
 
 
 class _Norm(nn.Module):

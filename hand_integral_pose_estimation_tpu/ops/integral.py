@@ -61,14 +61,10 @@ def _softmax_integral_xla(heatmap_nhwc, num_joints, depth):
     ey = jnp.sum(e * jnp.arange(H, dtype=acc_dt)[None, :, None, None, None],
                  axis=(1, 2, 4))
     coords = jnp.stack(
-        [ex / s / W - 0.5, ey / s / H - 0.5, ez / s / D_as_f(depth) - 0.5],
+        [ex / s / W - 0.5, ey / s / H - 0.5, ez / s / float(depth) - 0.5],
         axis=-1,
     )
     return coords, m.reshape(B, num_joints), s
-
-
-def D_as_f(depth):
-    return float(depth)
 
 
 # ---------------------------------------------------------------------------

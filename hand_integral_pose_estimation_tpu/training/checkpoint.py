@@ -12,7 +12,6 @@ import os
 import re
 from typing import Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 from hand_integral_pose_estimation_tpu.training.state import TrainState

@@ -16,7 +16,6 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from hand_integral_pose_estimation_tpu.config import DetectorConfig
 from hand_integral_pose_estimation_tpu.detect.faster_rcnn import FasterRCNN
 
 

@@ -15,8 +15,7 @@ best-by-validation checkpointing and a NaN guard. Differences by design:
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Optional, Sequence
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

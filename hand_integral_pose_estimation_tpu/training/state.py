@@ -67,8 +67,6 @@ def compare_param_trees(a, b) -> float:
     """Max absolute parameter difference between two pytrees — the
     teacher-vs-student weight check (common/base.py:73-86 `compare_models`).
     Returns +inf on structure mismatch."""
-    import numpy as np
-
     la = jax.tree_util.tree_leaves(a)
     lb = jax.tree_util.tree_leaves(b)
     if len(la) != len(lb):

@@ -14,11 +14,9 @@ difference is a regularisation detail, not an API one.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax
-import jax.numpy as jnp
 
 from hand_integral_pose_estimation_tpu import losses
 from hand_integral_pose_estimation_tpu.config import Config
