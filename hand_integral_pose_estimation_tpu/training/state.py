@@ -30,8 +30,11 @@ class TrainState:
 def multistep_schedule(base_lr: float, steps_per_epoch: int,
                        dec_epochs: Sequence[int],
                        dec_factor: float) -> optax.Schedule:
-    """torch MultiStepLR equivalent (base.py:104-107)."""
-    boundaries = {int(e * steps_per_epoch): dec_factor for e in dec_epochs}
+    """torch MultiStepLR equivalent (base.py:104-107). Boundaries clamp to
+    int32 range (an effectively-disabled decay like lr_dec_epoch=(10**9,)
+    would otherwise overflow the jitted step counter)."""
+    boundaries = {min(int(e * steps_per_epoch), 2**31 - 2): dec_factor
+                  for e in dec_epochs}
     return optax.piecewise_constant_schedule(base_lr, boundaries)
 
 
