@@ -30,6 +30,11 @@ def encode_boxes(anchors: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
     ], axis=-1)
 
 
+#: max log-scale delta — exp(4.135) = 62.5x growth (torchvision's
+#: log(1000/16) clamp); keeps untrained/huge regression outputs finite
+_MAX_SCALE_DELTA = 4.135166556742356
+
+
 def decode_boxes(anchors: jnp.ndarray, deltas: jnp.ndarray) -> jnp.ndarray:
     """Deltas -> boxes (bbox_transform.py `bbox_transform_inv`)."""
     aw = anchors[..., 2] - anchors[..., 0] + 1.0
@@ -38,8 +43,8 @@ def decode_boxes(anchors: jnp.ndarray, deltas: jnp.ndarray) -> jnp.ndarray:
     ay = anchors[..., 1] + 0.5 * ah
     cx = deltas[..., 0] * aw + ax
     cy = deltas[..., 1] * ah + ay
-    w = jnp.exp(deltas[..., 2]) * aw
-    h = jnp.exp(deltas[..., 3]) * ah
+    w = jnp.exp(jnp.minimum(deltas[..., 2], _MAX_SCALE_DELTA)) * aw
+    h = jnp.exp(jnp.minimum(deltas[..., 3], _MAX_SCALE_DELTA)) * ah
     return jnp.stack([
         cx - 0.5 * w,
         cy - 0.5 * h,
