@@ -219,3 +219,31 @@ class TestTwoPassWarp:
         a = warp_perspective_batch(imgs, Hs, (16, 16), method="gather")
         b = warp_perspective_batch(imgs, Hs, (16, 16), method="twopass")
         np.testing.assert_allclose(a, b, atol=1e-9)
+
+
+class TestPallasWarp:
+    def test_matches_twopass(self, rng):
+        from hand_integral_pose_estimation_tpu.ops.warp import (
+            warp_perspective_batch, warp_perspective_pallas)
+        imgs = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32) * 255)
+        Hs = []
+        for i in range(2):
+            H = np.eye(3)
+            H[:2, :2] *= 0.8 + 0.1 * rng.rand()
+            H[0, 1] = 0.2 * rng.randn()
+            H[:2, 2] = rng.randn(2) * 4
+            H[2, :2] = rng.randn(2) * 1e-4
+            Hs.append(H)
+        Hs = jnp.asarray(np.stack(Hs), jnp.float32)
+        want = warp_perspective_batch(imgs, Hs, (64, 64), method="twopass",
+                                      precision=jax.lax.Precision.HIGHEST)
+        got = warp_perspective_pallas(imgs, Hs, (64, 64), interpret=True)
+        np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-5)
+
+    def test_identity_exact(self, rng):
+        from hand_integral_pose_estimation_tpu.ops.warp import (
+            warp_perspective_pallas)
+        imgs = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32))
+        H = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (1, 3, 3))
+        out = warp_perspective_pallas(imgs, H, (32, 32), interpret=True)
+        np.testing.assert_allclose(out, imgs, atol=1e-5)
