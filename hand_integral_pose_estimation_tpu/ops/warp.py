@@ -275,10 +275,16 @@ def warp_perspective_batch(images: jnp.ndarray, H_mats: jnp.ndarray,
     TPU and HIGHEST elsewhere; pass an explicit jax.lax.Precision to pin.
     """
     on_tpu = any(dev.platform == "tpu" for dev in jax.devices())
-    aligned = all(d % 8 == 0 for d in
-                  (images.shape[1], images.shape[2], out_hw[0], out_hw[1]))
+    B, Hs, Ws, C = images.shape
+    Ho, Wo = out_hw
+    aligned = all(d % 8 == 0 for d in (Hs, Ws, Ho, Wo))
+    # the kernel holds a (chunk, Ws, Wo) weight block, the (Wo, C, Hs)
+    # intermediate and the in/out blocks in VMEM simultaneously
+    vmem_est = 4 * (32 * Ws * Wo + Wo * C * Hs
+                    + 2 * Hs * C * Ws + 2 * Wo * C * Ho)
+    fits = vmem_est < 11 * 1024 * 1024
     if method == "auto":
-        method = ("pallas" if on_tpu and aligned
+        method = ("pallas" if on_tpu and aligned and fits
                   else "twopass" if on_tpu else "gather")
     if precision is None:
         precision = (jax.lax.Precision.DEFAULT if on_tpu
