@@ -31,6 +31,7 @@ def main(argv=None):
 
     from hand_integral_pose_estimation_tpu.config import Config
     from hand_integral_pose_estimation_tpu.data.freihand import (
+        FreiHandDataset,
         SyntheticFreiHand,
     )
     from hand_integral_pose_estimation_tpu.evaluation import (
@@ -44,9 +45,12 @@ def main(argv=None):
     )
 
     cfg = Config()
-    # the challenge split carries no labels; the synthetic stand-in reuses
-    # its GT only to derive crop boxes
-    dataset = SyntheticFreiHand(n=args.synthetic_size)
+    if args.synthetic or not args.data_dir:
+        # synthetic stand-in (reuses its GT only to derive crop boxes)
+        dataset = SyntheticFreiHand(n=args.synthetic_size)
+    else:
+        # label-free challenge split (FreiHand.py:286-341)
+        dataset = FreiHandDataset(args.data_dir, "evaluation", cfg)
 
     model = get_pose_net(cfg.model)
     state, _ = create_train_state(

@@ -83,7 +83,33 @@ class FreiHandDataset:
             return start, start + t.testing_size - 1
         raise ValueError(self.data_split)
 
+    def _load_evaluation(self):
+        """Label-free challenge split (FreiHand.py:286-341
+        `load_evaluation_data`): evaluation_K.json + evaluation_scale.json,
+        images under evaluation/rgb, no joints (zeros placeholder)."""
+        base = self.data_dir
+        with open(os.path.join(base, "evaluation_K.json")) as f:
+            K_list = json.load(f)
+        with open(os.path.join(base, "evaluation_scale.json")) as f:
+            scale_list = json.load(f)
+        for idx in range(len(K_list)):
+            img_path = os.path.join(base, "evaluation", "rgb",
+                                    f"{idx:08d}.jpg")
+            self.records.append(SampleRecord(
+                img_path=img_path,
+                K=np.asarray(K_list[idx], np.float64),
+                joint_cam=np.zeros((self.joint_num, 3)),
+                ref_bone_len=float(scale_list[idx]),
+                labelled=False,
+                version="gs",
+                idx=idx,
+            ))
+        self.num_labelled = 0
+        self.num_unlabelled = len(self.records)
+
     def _load(self):
+        if self.data_split == "evaluation":
+            return self._load_evaluation()
         K_list, xyz_list, scale_list = self._load_annotations()
         start, end = self._split_range()
         lab_range = self.cfg.train.labelled_data_range

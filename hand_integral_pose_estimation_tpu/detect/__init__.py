@@ -31,3 +31,7 @@ from hand_integral_pose_estimation_tpu.detect.hand_detector import (  # noqa: F4
     detect_hand_crop_bbox,
     prepare_blob,
 )
+from hand_integral_pose_estimation_tpu.detect.vgg import (  # noqa: F401
+    VGG16Base,
+    VGG16Tail,
+)

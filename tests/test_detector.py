@@ -374,3 +374,19 @@ class TestTwoStagePipeline:
         # TestChallengeDump.test_pred_json_structure with real geometry; an
         # untrained net decodes all joints to the same point, which makes an
         # exact bone assertion fp-degenerate here)
+
+
+class TestVGGBackbone:
+    def test_vgg_base_stride16(self, rng):
+        from hand_integral_pose_estimation_tpu.detect.vgg import (
+            VGG16Base, VGG16Tail,
+        )
+        m = VGG16Base()
+        x = jnp.zeros((1, 64, 64, 3))
+        v = m.init(jax.random.PRNGKey(0), x)
+        y = m.apply(v, x)
+        assert y.shape == (1, 4, 4, 512)
+        tail = VGG16Tail()
+        vt = tail.init(jax.random.PRNGKey(1), jnp.zeros((2, 7, 7, 512)))
+        h = tail.apply(vt, jnp.zeros((2, 7, 7, 512)))
+        assert h.shape == (2, 4096)
