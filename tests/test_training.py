@@ -167,3 +167,37 @@ class TestScanSteps:
         assert len(lines) == 2
         rec = json.loads(lines[-1])
         assert "train/loss" in rec and np.isfinite(rec["train/loss"])
+
+
+class TestFilteredLabels:
+    def test_apply_filtered_labels_roundtrip(self, tmp_path):
+        """generate_teacher_labels output -> apply_filtered_labels drops
+        rejected rows and attaches pseudo-GT (FreiHand.load_filtered_data
+        contract)."""
+        import numpy as np
+        from hand_integral_pose_estimation_tpu.data.freihand import (
+            FreiHandDataset,
+            SampleRecord,
+            apply_filtered_labels,
+        )
+
+        recs = [SampleRecord(img_path=f"img{i}.jpg",
+                             K=np.eye(3), joint_cam=np.zeros((21, 3)),
+                             ref_bone_len=1.0, labelled=(i == 0),
+                             version="gs", idx=i) for i in range(4)]
+        ds = FreiHandDataset.__new__(FreiHandDataset)
+        ds.records = recs
+
+        npz = tmp_path / "filtered.npz"
+        np.savez(npz,
+                 joint_cam_normalized=np.arange(4 * 63).reshape(4, 21, 3)
+                 .astype(np.float32),
+                 tprime=np.array([600.0, 610.0, 620.0, 630.0]),
+                 variance=np.array([0.0, 5e-5, 2e-4, 1e-5]),
+                 keep=np.array([True, True, False, True]))
+        out = apply_filtered_labels(ds, str(npz))
+        assert len(out.records) == 3
+        assert [r.idx for r in out.records] == [0, 1, 3]
+        assert out.records[1].teacher_cam_normalized is not None
+        assert out.records[1].teacher_tprime == 610.0
+        assert out.num_labelled == 1 and out.num_unlabelled == 2
