@@ -201,3 +201,59 @@ class TestFilteredLabels:
         assert out.records[1].teacher_cam_normalized is not None
         assert out.records[1].teacher_tprime == 610.0
         assert out.num_labelled == 1 and out.num_unlabelled == 2
+
+
+class TestTeacherPath:
+    def test_train_step_with_live_teacher(self):
+        """Frozen-teacher branch (train.py:83-99): teacher_apply feeds the
+        unsupervised term instead of cached labels."""
+        from hand_integral_pose_estimation_tpu.data import pipeline
+        from hand_integral_pose_estimation_tpu.models import get_pose_net
+        from hand_integral_pose_estimation_tpu.training.train_step import (
+            make_train_step,
+        )
+        cfg = small_config()
+        model = get_pose_net(cfg.model)
+        tx = make_optimizer(cfg.train, 1)
+        state, _ = create_train_state(
+            model, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+            cfg.train, tx=tx)
+
+        teacher_coords = jnp.full((4, 21, 3), 0.1)
+        step = make_train_step(model, tx, cfg, integral_impl="xla",
+                               teacher_apply=lambda imgs: teacher_coords)
+
+        ds = SyntheticFreiHand(n=4, image_hw=(64, 64), seed=0)
+        host = ds.host_batch(np.arange(4))
+        batch = pipeline.make_train_batch(
+            jax.random.PRNGKey(0), jnp.asarray(host["image"]),
+            jnp.asarray(host["joint_cam"]), jnp.asarray(host["K"]), None,
+            jnp.zeros(4, bool),   # all unlabelled -> teacher term only
+            None, jnp.asarray(host["ref_bone_len"]), cfg.augment, (64, 64))
+        new_state, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+        assert float(metrics["loss_supervised"]) == 0.0
+        assert float(metrics["loss_unsupervised"]) > 0.0
+
+
+class TestModelParallelSharding:
+    def test_final_projection_sharded_over_model_axis(self):
+        from hand_integral_pose_estimation_tpu.models import get_pose_net
+        from hand_integral_pose_estimation_tpu.parallel import (
+            make_mesh, param_sharding_rules,
+        )
+        cfg = small_config()
+        model = get_pose_net(cfg.model)
+        state, _ = create_train_state(
+            model, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+            cfg.train)
+        mesh = make_mesh(model_parallelism=2)
+        rules = param_sharding_rules(mesh, state.params)
+        final_k = rules["head"]["final"]["kernel"]
+        assert final_k.spec[-1] == "model"
+        # everything else replicated
+        bb = rules["backbone"]["conv1"]["kernel"]
+        assert all(s is None for s in bb.spec)
+        # device_put works and shards the channel dim
+        k = jax.device_put(state.params["head"]["final"]["kernel"], final_k)
+        assert len(k.addressable_shards) == 8
