@@ -154,6 +154,12 @@ class FreiHandDataset:
         p = (self.cfg.train.labelled_selection_prob
              if labelled_prob is None else labelled_prob)
         pick_lab = rng.random_sample(batch_size) < p
+        # degenerate pools: all-labelled / all-unlabelled datasets sample
+        # from whichever side exists
+        if self.num_unlabelled == 0:
+            pick_lab[:] = True
+        elif self.num_labelled == 0:
+            pick_lab[:] = False
         idx = np.where(
             pick_lab,
             rng.randint(0, max(self.num_labelled, 1), batch_size),

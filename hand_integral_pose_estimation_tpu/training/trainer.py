@@ -56,6 +56,10 @@ class Trainer:
     #: fuse this many optimisation steps into one device program (lax.scan):
     #: hides host round-trip latency and dispatch overhead
     scan_steps: int = 1
+    #: decode JPEG batches with the C++ prefetch loader (native/hipe_io.cpp),
+    #: overlapping the next batch's decode with the current device step;
+    #: only takes effect for file-backed datasets
+    native_prefetch: bool = False
     metrics_dir: Optional[str] = None
     #: write a jax.profiler trace of the first few steps of the first epoch
     profile_dir: Optional[str] = None
@@ -98,6 +102,15 @@ class Trainer:
 
         self.metrics = (MetricsWriter(self.metrics_dir)
                         if self.metrics_dir else None)
+        self._loader = None
+        self._pending_recs = None
+        if self.native_prefetch and hasattr(self.dataset, "records"):
+            from hand_integral_pose_estimation_tpu.data.native_loader import (
+                NativeLoader,
+            )
+            hw = self.cfg.model.input_shape
+            self._loader = NativeLoader(self.cfg.train.batch_size,
+                                        hw[0], hw[1])
         self.read_timer = Timer()
         self.step_timer = Timer()
         self.total_timer = Timer()
@@ -129,8 +142,24 @@ class Trainer:
         return fn
 
     def _host_batch_kwargs(self, rng):
-        host = self.dataset.host_batch(
-            self.dataset.sample_indices(rng, self.cfg.train.batch_size))
+        idx = self.dataset.sample_indices(rng, self.cfg.train.batch_size)
+        if self._loader is not None:
+            # double-buffered: collect the batch submitted last call, submit
+            # this one (decode overlaps the device step in between)
+            from hand_integral_pose_estimation_tpu.data.freihand import (
+                stack_host_batch,
+            )
+            recs = [self.dataset.records[i] for i in idx]
+            if self._pending_recs is None:
+                self._loader.submit([r.img_path for r in recs])
+                self._pending_recs = recs
+            images = self._loader.wait()
+            ready = self._pending_recs
+            self._loader.submit([r.img_path for r in recs])
+            self._pending_recs = recs
+            host = stack_host_batch(ready, list(images[:len(ready)]))
+        else:
+            host = self.dataset.host_batch(idx)
         return {
             "image": host["image"],
             "joint_cam": host["joint_cam"],
