@@ -294,3 +294,20 @@ class TestNativePrefetchTrainer:
         assert np.isfinite(m["loss"])
         if t._loader is not None:
             assert t._loader.available or True  # cv2 fallback also exercised
+
+
+class TestSplitQuirks:
+    def test_testing_split_range_off_by_one(self):
+        """The reference's test split starts at training_size + 1 and spans
+        testing_size - 1 (FreiHand.py:417-419) — preserved exactly."""
+        from hand_integral_pose_estimation_tpu.data.freihand import (
+            FreiHandDataset,
+        )
+        ds = FreiHandDataset.__new__(FreiHandDataset)
+        ds.cfg = Config()
+        ds.data_split = "training"
+        assert ds._split_range() == (0, 26050)
+        ds.data_split = "testing"
+        start, end = ds._split_range()
+        assert start == 26051
+        assert end - start == 3255 - 1
