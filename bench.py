@@ -74,7 +74,7 @@ def measure_tpu() -> float:
     args = (variables["params"], variables["batch_stats"], images, joints,
             K, ref_len)
 
-    def timed(n, reps=3):
+    def timed(n, reps=5):
         _ = np.asarray(e2e_loop(*args, n)[0, 0, 0])  # compile + warm
         best = float("inf")
         for _ in range(reps):
