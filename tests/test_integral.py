@@ -171,3 +171,35 @@ class TestAuxOutputs:
             hm[0, 2, 2, j * D + 1] = 100.0
         ent_peak = integral.heatmap_entropy(jnp.asarray(hm), J, D)
         assert float(ent_peak.max()) < 1e-3
+
+
+class TestTorchOracleParity:
+    def test_matches_torch_reference_formulation(self, rng):
+        """Direct parity with the reference op: torch softmax over the
+        flattened (D, H, W) volume + per-axis marginal expectations
+        (loss.py:23-59), on the same logical heatmap (NCHW channel j*D+d ==
+        our NHWC channel j*D+d)."""
+        import torch
+
+        B, J, D, H, W = 2, 4, 6, 8, 8
+        hm_nchw = rng.randn(B, J * D, H, W).astype(np.float32) * 3
+
+        # torch reference math
+        t = torch.from_numpy(hm_nchw)
+        p = torch.softmax(t.reshape(B, J, D * H * W), dim=2)
+        p = p.reshape(B, J, D, H, W)
+        ax = torch.arange(W, dtype=torch.float32)
+        ay = torch.arange(H, dtype=torch.float32)
+        az = torch.arange(D, dtype=torch.float32)
+        x = (p.sum(dim=(2, 3)) * ax).sum(-1) / W - 0.5
+        y = (p.sum(dim=(2, 4)) * ay).sum(-1) / H - 0.5
+        z = (p.sum(dim=(3, 4)) * az).sum(-1) / D - 0.5
+        want = torch.stack([x, y, z], dim=-1).numpy()
+
+        # ours: NHWC with the same channel semantics
+        nhwc = np.transpose(hm_nchw, (0, 2, 3, 1))
+        got = integral.softmax_integral(jnp.asarray(nhwc), J, D, impl="xla")
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        got_p = integral.softmax_integral(jnp.asarray(nhwc), J, D,
+                                          impl="pallas", interpret=True)
+        np.testing.assert_allclose(got_p, want, atol=1e-5)
