@@ -247,3 +247,57 @@ class TestPallasWarp:
         H = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (1, 3, 3))
         out = warp_perspective_pallas(imgs, H, (32, 32), interpret=True)
         np.testing.assert_allclose(out, imgs, atol=1e-5)
+
+
+class TestCv2Parity:
+    """Direct comparison against cv2.warpPerspective — the reference's actual
+    resampler (augment.py:371,409). cv2 quantises source coords to 1/32 px
+    (INTER_BITS), so tolerances are a few grey levels on smooth images."""
+
+    def _smooth_image(self):
+        yy, xx = np.mgrid[0:224, 0:224]
+        img = np.stack([
+            128 + 100 * np.sin(xx / 17.0),
+            128 + 100 * np.cos(yy / 13.0),
+            128 + 50 * np.sin((xx + yy) / 23.0),
+        ], axis=-1).astype(np.float32)
+        return img
+
+    def test_single_warp_matches_cv2(self):
+        import cv2
+        img = self._smooth_image()
+        H = np.array([[0.9, 0.1, 5.0], [-0.08, 1.05, -3.0],
+                      [1e-4, -5e-5, 1.0]])
+        want = cv2.warpPerspective(img, H, (224, 224),
+                                   flags=cv2.INTER_LINEAR)
+        got = np.asarray(warp_perspective(jnp.asarray(img),
+                                          jnp.asarray(H), (224, 224)))
+        # interior comparison (border pixels differ by partial coverage)
+        d = np.abs(got[8:-8, 8:-8] - want[8:-8, 8:-8])
+        assert d.max() < 4.0, d.max()       # grey levels out of 255
+        assert d.mean() < 0.3
+
+    def test_composed_crop_matches_cv2_double_warp(self):
+        """The reference warps twice (rotation homography then 4-point crop);
+        our pipeline composes both into one resample. On a smooth image both
+        must agree to resampling tolerance."""
+        import cv2
+        img = self._smooth_image()
+        K = np.array([[531.9, 0, 112.0], [0, 532.2, 112.0], [0, 0, 1.0]])
+        R = np.asarray(geo.sample_rotation_matrix(jax.random.PRNGKey(3),
+                                                  rot_prob=1.0))
+        homo = K @ R @ np.linalg.inv(K)
+        trans = np.asarray(geo.trans_from_patch(110.0, 118.0, 150.0, 150.0,
+                                                224, 224))
+        # reference: two cv2 resamples (augment.py:371 then 409)
+        w1 = cv2.warpPerspective(img, homo, (224, 224))
+        want = cv2.warpPerspective(w1, trans, (224, 224),
+                                   flags=cv2.INTER_LINEAR)
+        # ours: single composed resample
+        got = np.asarray(warp_perspective(jnp.asarray(img),
+                                          jnp.asarray(trans @ homo),
+                                          (224, 224)))
+        d = np.abs(got[16:-16, 16:-16] - want[16:-16, 16:-16])
+        # double resampling adds its own blur: compare loosely
+        assert d.mean() < 1.0, d.mean()
+        assert np.percentile(d, 99) < 6.0
