@@ -282,3 +282,26 @@ class TestProcrustes:
 
         got = geo.align_w_scale(jnp.asarray(X), jnp.asarray(Y))
         np.testing.assert_allclose(got, expected, atol=1e-8)
+
+
+class TestCv2TransformParity:
+    def test_get_perspective_transform_matches_cv2(self, rng):
+        import cv2
+        for _ in range(4):
+            src = rng.uniform(0, 224, (4, 2)).astype(np.float32)
+            dst = rng.uniform(0, 224, (4, 2)).astype(np.float32)
+            want = cv2.getPerspectiveTransform(src, dst)
+            got = geo.get_perspective_transform(jnp.asarray(src, jnp.float64),
+                                                jnp.asarray(dst, jnp.float64))
+            np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_patch_transform_matches_cv2_4point(self):
+        """The bbox->patch transform equals cv2.getPerspectiveTransform on
+        the reference's corner ordering (augment.py:476-504)."""
+        import cv2
+        cx, cy, w, h = 112.3, 97.1, 150.0, 163.0
+        src, dst = geo.patch_corner_points(cx, cy, w, h, 224, 224)
+        want = cv2.getPerspectiveTransform(np.asarray(src, np.float32),
+                                           np.asarray(dst, np.float32))
+        got = geo.trans_from_patch(cx, cy, w, h, 224, 224)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
