@@ -63,6 +63,9 @@ class Trainer:
     metrics_dir: Optional[str] = None
     #: write a jax.profiler trace of the first few steps of the first epoch
     profile_dir: Optional[str] = None
+    #: test-split dataset for the epoch-end loss sweep
+    #: (main/train.py:140-163); None skips the sweep
+    test_dataset: Optional[object] = None
 
     def __post_init__(self):
         self.logger = color_logger(self.log_dir, "train_logs.txt")
@@ -237,11 +240,24 @@ class Trainer:
             steps_per_epoch: Optional[int] = None,
             save_every: int = 1) -> TrainState:
         end_epoch = end_epoch or self.cfg.train.end_epoch
+        tester = None
         for epoch in range(self.start_epoch, end_epoch):
             self.run_epoch(epoch, steps_per_epoch)
             if (epoch + 1) % save_every == 0 or epoch == end_epoch - 1:
                 path = ckpt.save_checkpoint(self.model_dir, self.state, epoch)
                 self.logger.info("saved %s", path)
+            if self.test_dataset is not None:
+                # epoch-end 'Average loss on test set' (main/train.py:140-163)
+                if tester is None:  # build once so the eval jit cache is kept
+                    tester = Tester(self.cfg, self.test_dataset, self.state,
+                                    integral_impl=self.integral_impl)
+                tester.state = self.state
+                test_loss = tester.mean_loss()
+                self.logger.info("epoch %d/%d average loss on test set %.4f",
+                                 epoch, end_epoch, test_loss)
+                if self.metrics is not None:
+                    self.metrics.write(int(self.state.step),
+                                       {"loss": test_loss}, prefix="test")
         return self.state
 
 
@@ -267,21 +283,39 @@ class Tester:
                                      ref_bone_len, acfg, hw))
 
     def run(self, batch_size: Optional[int] = None):
+        """Sweep every sample exactly once.
+
+        The last partial batch is padded (repeating its final sample) to keep
+        device shapes fixed, then padding rows are dropped on host — matching
+        the reference DataLoader, which evaluates the full split including the
+        smaller tail batch (main/test.py:68-143).
+        """
         bs = batch_size or self.cfg.train.test_batch_size
         n = len(self.dataset)
         coords_all, batches = [], []
-        for start in range(0, n - bs + 1, bs):
-            host = self.dataset.host_batch(np.arange(start, start + bs))
+        for start in range(0, n, bs):
+            idx = np.arange(start, min(start + bs, n))
+            if len(idx) < bs:
+                idx = np.concatenate(
+                    [idx, np.full(bs - len(idx), idx[-1], idx.dtype)])
+            host = self.dataset.host_batch(idx)
             batch = self._preprocess(host["image"], host["joint_cam"],
                                      host["K"], host["ref_bone_len"],
                                      host["bbox_detector"])
             coords, _ = self.eval_step(self.state, batch)
             coords_all.append(np.asarray(coords))
             batches.append(jax.tree_util.tree_map(np.asarray, batch))
-        coords = np.concatenate(coords_all)
+        coords = np.concatenate(coords_all)[:n]
         merged = jax.tree_util.tree_map(
-            lambda *xs: np.concatenate(xs), *batches)
+            lambda *xs: np.concatenate(xs)[:n], *batches)
         return coords, merged
+
+    def mean_loss(self, batch_size: Optional[int] = None) -> float:
+        """Per-sample-averaged JointLocationLoss over the whole split (the
+        epoch-end 'Average loss on test set' sweep, main/train.py:140-163)."""
+        coords, merged = self.run(batch_size)
+        err = np.abs(coords - merged.label) * merged.label_weight
+        return float(err.sum(axis=(1, 2)).mean())
 
 
 @dataclasses.dataclass

@@ -142,6 +142,48 @@ class TestDataParallel:
                                        atol=2.5 * cfg.train.lr)
 
 
+class TestTester:
+    def test_tail_batch_not_dropped(self):
+        """n % batch_size != 0: every sample is scored exactly once (the
+        reference DataLoader evaluates the smaller tail batch too,
+        main/test.py:68)."""
+        from hand_integral_pose_estimation_tpu.training import Tester
+        cfg = small_config()
+        ds = SyntheticFreiHand(n=10, image_hw=(64, 64), seed=3)
+        t = Trainer(cfg=cfg, dataset=ds, model_dir=tempfile.mkdtemp(),
+                    integral_impl="xla")
+        tester = Tester(cfg, ds, t.state, integral_impl="xla")
+        coords, merged = tester.run(batch_size=4)
+        assert coords.shape[0] == 10
+        assert merged.label.shape[0] == 10
+        # rows follow the dataset order with no padded duplicates
+        host = ds.host_batch(np.arange(10))
+        np.testing.assert_allclose(merged.joint_cam, host["joint_cam"],
+                                   rtol=1e-6)
+        loss = tester.mean_loss(batch_size=4)
+        assert np.isfinite(loss)
+        # padding must not change the metric: exact batch size, same answer
+        loss_exact = tester.mean_loss(batch_size=5)
+        np.testing.assert_allclose(loss, loss_exact, rtol=1e-5)
+
+    def test_fit_epoch_end_test_sweep(self):
+        """Trainer.fit with a test_dataset logs an epoch-end test loss
+        (main/train.py:140-163)."""
+        import json
+        cfg = small_config()
+        ds = SyntheticFreiHand(n=8, image_hw=(64, 64), seed=1)
+        test_ds = SyntheticFreiHand(n=6, image_hw=(64, 64), seed=9)
+        d = tempfile.mkdtemp()
+        t = Trainer(cfg=cfg, dataset=ds, model_dir=tempfile.mkdtemp(),
+                    integral_impl="xla", metrics_dir=d, test_dataset=test_ds)
+        t.fit(end_epoch=2, steps_per_epoch=1)
+        recs = [json.loads(l) for l in
+                open(os.path.join(d, "events.jsonl")).read().splitlines()]
+        test_losses = [r["test/loss"] for r in recs if "test/loss" in r]
+        assert len(test_losses) == 2
+        assert all(np.isfinite(v) for v in test_losses)
+
+
 class TestScanSteps:
     def test_scan_trainer_matches_loss_progression(self):
         cfg = small_config()
