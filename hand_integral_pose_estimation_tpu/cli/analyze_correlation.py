@@ -72,7 +72,8 @@ def main(argv=None):
         print("no teacher snapshot — fresh model (smoke mode)")
 
     panet = PANet(pts_num=cfg.panet.pts_num,
-                  dict_sizes=cfg.panet.dict_sizes)
+                  dict_sizes=cfg.panet.dict_sizes,
+                  encode_with_relu=cfg.panet.encode_with_relu)
     if args.panet_ckpt and os.path.exists(args.panet_ckpt):
         import torch
         panet_params = convert_torch_state_dict(

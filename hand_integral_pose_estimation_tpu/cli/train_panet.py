@@ -19,6 +19,13 @@ def build_argparser():
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--sparsity-weight", type=float, default=1e-4)
     p.add_argument("--augment-rotation", action="store_true")
+    p.add_argument("--encode-with-relu", type=int, default=1,
+                   help="1 = relu threshold, 0 = block soft threshold "
+                        "(nrsfm_modules.py:92-95)")
+    p.add_argument("--composite", type=int, default=0, metavar="COMP_NUM",
+                   help="after the base run, boost COMP_NUM-1 extra "
+                        "components on worst-decile samples "
+                        "(train_kernel.py:440-488)")
     p.add_argument("--out", default="output/panet")
     p.add_argument("--synthetic", action="store_true")
     return p
@@ -34,10 +41,11 @@ def main(argv=None):
     from hand_integral_pose_estimation_tpu.config import PANetConfig
     from hand_integral_pose_estimation_tpu.models.panet import PANet
     from hand_integral_pose_estimation_tpu.training.panet_trainer import (
+        train_composite_panet,
         train_panet,
     )
 
-    pcfg = PANetConfig()
+    pcfg = PANetConfig(encode_with_relu=bool(args.encode_with_relu))
     if args.synthetic or not args.train_npy:
         rng = np.random.RandomState(0)
         pts = rng.randn(512, pcfg.pts_num, 3).astype(np.float32) * 0.05
@@ -49,7 +57,8 @@ def main(argv=None):
     train_pts = train_pts - train_pts.mean(1, keepdims=True)
     test_pts = test_pts - test_pts.mean(1, keepdims=True)
 
-    model = PANet(pts_num=pcfg.pts_num, dict_sizes=pcfg.dict_sizes)
+    model = PANet(pts_num=pcfg.pts_num, dict_sizes=pcfg.dict_sizes,
+                  encode_with_relu=pcfg.encode_with_relu)
     res = train_panet(model, train_pts, test_pts, num_steps=args.steps,
                       batch_size=args.batch_size, lr=args.lr,
                       sparsity_weight=args.sparsity_weight,
@@ -60,6 +69,19 @@ def main(argv=None):
     ocp.PyTreeCheckpointer().save(os.path.join(out, "model_cur"),
                                   res.params, force=True)
     print(f"best val loss {float(res.best_val_loss):.6f} -> {out}")
+
+    if args.composite > 1:
+        comp = train_composite_panet(
+            model, res.best_params, train_pts, comp_num=args.composite,
+            num_steps=args.steps, batch_size=args.batch_size, lr=args.lr,
+            sparsity_weight=args.sparsity_weight,
+            augment_rotation=args.augment_rotation)
+        for i, p_i in enumerate(comp.components):
+            ocp.PyTreeCheckpointer().save(
+                os.path.join(out, f"model_comp_{i:02d}"), p_i, force=True)
+        print(f"composite: mean per-sample loss "
+              f"{float(comp.loss_before.mean()):.6f} -> "
+              f"{float(comp.loss_after.mean()):.6f}")
 
 
 if __name__ == "__main__":

@@ -50,6 +50,23 @@ def _fan_in_uniform(fan_in: int):
 DEFAULT_DICT_SIZES: Tuple[int, ...] = (512, 256, 128, 64, 32, 16, 8)
 
 
+def block_soft_threshold(x: jnp.ndarray, thrsh: jnp.ndarray) -> jnp.ndarray:
+    """Group-sparse shrinkage over each (3, 3) code block
+    (nrsfm_modules.py:13-22): scale each block by
+    relu(1 - thrsh / ||block||_2). The norm is clamped away from zero so a
+    zero block maps to zero instead of 0 * inf = nan (the torch version hits
+    that edge only on exactly-zero blocks)."""
+    norm = jnp.linalg.norm(
+        x.reshape(*x.shape[:2], -1), axis=-1)            # (B, D)
+    scale = nn.relu(1.0 - thrsh[None, :] / jnp.maximum(norm, 1e-12))
+    return scale[..., None, None] * x
+
+
+def relu_threshold(x: jnp.ndarray, thrsh: jnp.ndarray) -> jnp.ndarray:
+    """Channel-biased relu (nrsfm_modules.py:10-11)."""
+    return nn.relu(x + thrsh[None, :, None, None])
+
+
 def make_orthonormal(mats: jnp.ndarray) -> jnp.ndarray:
     """Closest-rotation projection via SVD with reflection fix
     (nrsfm_modules.py:46-67): orth = U V^T; if det < 0, flip the last column
@@ -70,6 +87,10 @@ class PANet(nn.Module):
 
     pts_num: int = 21
     dict_sizes: Sequence[int] = DEFAULT_DICT_SIZES
+    #: encoder threshold choice (nrsfm_modules.py:92-95,143-146): True ->
+    #: relu_threshold, False -> block_soft_threshold. The decoder always uses
+    #: relu (ae_thresh_func, nrsfm_modules.py:148).
+    encode_with_relu: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -77,13 +98,15 @@ class PANet(nn.Module):
         ds = list(self.dict_sizes)
         P = self.pts_num
         x = pts_3d.astype(self.dtype)
+        thresh = relu_threshold if self.encode_with_relu else \
+            block_soft_threshold
 
         # ---- encoder ----
         dict0 = self.param("dict0", he_uniform(), (P, 3, ds[0]), self.dtype)
         b_enc0 = self.param("bias_enc0", zeros, (ds[0],), self.dtype)
         # (B, P, 3) x (P, 3, D) -> (B, D, 3, 3) camera-equivariant block code
         code = jnp.einsum("pid,bpj->bdij", dict0, x)
-        code = nn.relu(code + b_enc0[None, :, None, None])
+        code = thresh(code, b_enc0)
 
         dicts = []
         for li in range(1, len(ds)):
@@ -92,7 +115,7 @@ class PANet(nn.Module):
             b = self.param(f"bias_enc{li}", zeros, (ds[li],), self.dtype)
             dicts.append(w)
             code = jnp.einsum("co,bcij->boij", w, code)
-            code = nn.relu(code + b[None, :, None, None])
+            code = thresh(code, b)
 
         # ---- camera + pose code ----
         cam_w = self.param("camera_w", _fan_in_uniform(ds[-1]),
@@ -146,6 +169,16 @@ def panet_loss(model: PANet, params, pts_3d: jnp.ndarray,
     mpjpe = jnp.linalg.norm(pts_recon - pts_3d, axis=-1).mean()
     return loss, {"loss": loss, "loss_recon": loss_recon,
                   "loss_sparsity": loss_sparsity, "mpjpe": mpjpe}
+
+
+def panet_loss_per_sample(model: PANet, params,
+                          pts_3d: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample Frobenius reconstruction loss (the quantity
+    predict_batch_main returns for hard-example mining,
+    train_kernel.py:470-479)."""
+    pts_recon, _, _, _ = model.apply({"params": params}, pts_3d)
+    d = (pts_recon - pts_3d).reshape(pts_3d.shape[0], -1)
+    return jnp.linalg.norm(d, axis=-1)
 
 
 def convert_torch_state_dict(state_dict) -> dict:

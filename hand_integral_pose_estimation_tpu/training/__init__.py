@@ -21,7 +21,10 @@ from hand_integral_pose_estimation_tpu.training.trainer import (  # noqa: F401
     Trainer,
 )
 from hand_integral_pose_estimation_tpu.training.panet_trainer import (  # noqa: F401
+    CompositePANetResult,
     PANetTrainResult,
+    composite_loss_per_sample,
+    train_composite_panet,
     train_panet,
 )
 from hand_integral_pose_estimation_tpu.training.detector_trainer import (  # noqa: F401

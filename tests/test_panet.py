@@ -122,6 +122,157 @@ class TestPANetForward:
         assert gnorm > 0
 
 
+class TestBlockSoftThreshold:
+    def test_matches_torch_oracle(self, rng):
+        """block_soft_threshold parity with the reference formula
+        (nrsfm_modules.py:13-22) evaluated through torch."""
+        import torch
+        from hand_integral_pose_estimation_tpu.models.panet import (
+            block_soft_threshold,
+        )
+        x = rng.randn(6, 12, 3, 3).astype(np.float32)
+        th = (rng.rand(12).astype(np.float32) * 2.0 - 0.5)  # some negative
+
+        xt = torch.from_numpy(x)
+        tht = torch.from_numpy(th)
+        norm = xt.view(6, 12, -1).norm(dim=-1)
+        want = (torch.relu(1 - tht.view(1, 12) / norm)
+                .view(6, 12, 1, 1) * xt).numpy()
+
+        got = block_soft_threshold(jnp.asarray(x), jnp.asarray(th))
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+    def test_zero_block_maps_to_zero(self):
+        from hand_integral_pose_estimation_tpu.models.panet import (
+            block_soft_threshold,
+        )
+        x = jnp.zeros((2, 4, 3, 3))
+        th = jnp.asarray([0.5, -0.5, 0.0, 1.0])
+        out = block_soft_threshold(x, th)
+        assert np.isfinite(np.asarray(out)).all()
+        np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+    def test_encode_with_relu_knob(self, rng):
+        """encode_with_relu=False routes the encoder through the soft
+        threshold: forward differs from the relu variant, grads stay
+        finite (the knob was dead config in round 1)."""
+        pts = jnp.asarray(rng.randn(4, 21, 3).astype(np.float32) * 0.05)
+        outs = {}
+        for flag in (True, False):
+            model = PANet(pts_num=21, dict_sizes=(16, 8),
+                          encode_with_relu=flag)
+            params = model.init(jax.random.PRNGKey(0), pts)["params"]
+            recon, _, cam, _ = model.apply({"params": params}, pts)
+            outs[flag] = np.asarray(recon)
+            np.testing.assert_allclose(
+                cam @ np.swapaxes(cam, -1, -2),
+                np.broadcast_to(np.eye(3), (4, 3, 3)), atol=1e-5)
+            (loss, _), grads = jax.value_and_grad(
+                lambda p: panet_loss(model, p, pts), has_aux=True)(params)
+            assert np.isfinite(float(loss))
+            assert all(np.isfinite(np.asarray(g)).all()
+                       for g in jax.tree_util.tree_leaves(grads))
+        assert np.abs(outs[True] - outs[False]).max() > 1e-6
+
+
+class TestRotationAugmentation:
+    def test_per_sample_rigid_rotations(self, rng):
+        """The augmentation draws a DISTINCT rotation per sample
+        (train_kernel.py:406-414 draws (B, 3) angles) and is rigid."""
+        from hand_integral_pose_estimation_tpu.training.panet_trainer import (
+            _augment_rotation,
+        )
+        pts = jnp.asarray(rng.randn(8, 21, 3).astype(np.float32) * 0.05)
+        out = np.asarray(_augment_rotation(jax.random.PRNGKey(3), pts))
+        # rigid: per-sample pairwise distances preserved
+        def pdist(x):
+            return np.linalg.norm(x[:, :, None] - x[:, None, :], axis=-1)
+        np.testing.assert_allclose(pdist(out), pdist(np.asarray(pts)),
+                                   atol=1e-5)
+        # per-sample: recover each sample's rotation via least squares and
+        # check at least two samples got different rotations
+        Rs = []
+        for b in range(4):
+            R, *_ = np.linalg.lstsq(np.asarray(pts)[b], out[b], rcond=None)
+            Rs.append(R)
+        assert max(np.abs(Rs[0] - R).max() for R in Rs[1:]) > 1e-3
+
+    def test_distribution_matches_reference(self):
+        """angles ~ Normal(mean=val, std=2*val) per component
+        (train_kernel.py:408)."""
+        from hand_integral_pose_estimation_tpu.training.panet_trainer import (
+            _augment_rotation,
+        )
+        # probe with pts = identity frame so we can read the rotation back
+        val = 0.15
+        n = 4000
+        key = jax.random.PRNGKey(0)
+        angles = (jax.random.normal(key, (n, 3)) * (val + val) + val)
+        a = np.asarray(angles)
+        assert abs(a.mean() - val) < 0.02
+        assert abs(a.std() - 2 * val) < 0.02
+        # and the augmentation consumes exactly this distribution: check a
+        # single sample rotated by a known axis-angle matches rodrigues
+        from hand_integral_pose_estimation_tpu.geometry import rotation
+        pts = jnp.asarray(np.eye(3)[None].astype(np.float32))
+        k_idx, k_rot = jax.random.split(jax.random.PRNGKey(7))
+        out = _augment_rotation(k_rot, pts, aug_rotate_val=val)
+        ang = (jax.random.normal(k_rot, (1, 3), jnp.float32)
+               * (val + val) + val)
+        want = pts @ rotation.rodrigues(ang).astype(jnp.float32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   atol=1e-6)
+
+
+class TestCompositePANet:
+    def test_worst_decile_loss_drops(self, rng):
+        """Hard-example boosting (train_kernel.py:440-488): after adding
+        components trained on the worst decile, the composite loss on those
+        samples drops."""
+        from hand_integral_pose_estimation_tpu.training.panet_trainer import (
+            composite_loss_per_sample,
+            train_composite_panet,
+            train_panet,
+        )
+        # two structurally different clusters; the base model mostly sees
+        # cluster A, so cluster B supplies hard samples
+        a = rng.randn(72, 21, 3).astype(np.float32) * 0.05
+        b = (rng.randn(8, 21, 3).astype(np.float32) * 0.05 +
+             np.array([0.2, -0.1, 0.3], np.float32))
+        pts = np.concatenate([a, b])
+        pts = pts - pts.mean(1, keepdims=True)
+        model = PANet(pts_num=21, dict_sizes=(16, 8))
+        base = train_panet(model, pts[:64], pts[64:72], num_steps=150,
+                           batch_size=16, eval_every=75)
+        comp = train_composite_panet(model, base.best_params, pts,
+                                     comp_num=2, num_steps=150,
+                                     batch_size=8, eval_every=75)
+        assert len(comp.components) == 2
+        k = max(1, len(pts) // 10)
+        worst = np.argsort(-np.asarray(comp.loss_before))[:k]
+        before = float(np.asarray(comp.loss_before)[worst].mean())
+        after = float(np.asarray(comp.loss_after)[worst].mean())
+        assert after < before, (before, after)
+        # composite never scores worse than the base alone
+        base_only = composite_loss_per_sample(model, [base.best_params],
+                                              jnp.asarray(pts))
+        assert (np.asarray(comp.loss_after)
+                <= np.asarray(base_only) + 1e-6).all()
+
+    def test_uneven_final_chunk_no_extra_steps(self, rng):
+        """num_steps not a multiple of eval_every: the padded tail must not
+        run extra updates (and must reuse the same compiled chunk)."""
+        from hand_integral_pose_estimation_tpu.training.panet_trainer import (
+            train_panet,
+        )
+        pts = rng.randn(32, 21, 3).astype(np.float32) * 0.05
+        model = PANet(pts_num=21, dict_sizes=(16, 8))
+        res = train_panet(model, pts[:24], pts[24:], num_steps=130,
+                          batch_size=8, eval_every=50)
+        assert res.train_losses.shape == (3,)
+        assert np.isfinite(np.asarray(res.train_losses)).all()
+
+
 @needs_artifacts
 class TestShippedWeightsParity:
     @pytest.fixture(scope="class")
