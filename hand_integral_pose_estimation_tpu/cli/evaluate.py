@@ -1,8 +1,15 @@
 """FreiHAND-challenge prediction dump (reference: main/evaluate.py).
 
-Sweeps the (label-free) evaluation split using detector crop boxes and dumps
-pred.json ([xyz_list, verts_list]) for the challenge server, plus
+Sweeps the (label-free) evaluation split and dumps pred.json
+([xyz_list, verts_list]) for the challenge server, plus
 evaluation_predictions.npy.
+
+Crop boxes come from the hand detector, exactly as the reference's
+`load_evaluation_data` (FreiHand.py:286-341): by default the sweep runs the
+jitted two-stage detect -> crop -> pose program (inference.TwoStagePipeline)
+so both networks execute in one XLA program per batch. A cached bbox db
+(--bbox-db) short-circuits the detector stage, mirroring the reference's
+pickle cache (FreiHand.py:286-293).
 """
 
 from __future__ import annotations
@@ -19,17 +26,38 @@ def build_argparser():
     p.add_argument("--evaluate-epoch", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--synthetic-size", type=int, default=64)
+    p.add_argument("--use-detector", action="store_true",
+                   help="two-stage detect->crop->pose even in synthetic mode "
+                        "(always on for the real label-free split)")
+    p.add_argument("--detector-ckpt", default=None,
+                   help="orbax detector params dir (fresh weights if absent)")
+    p.add_argument("--bbox-db", default=None,
+                   help="npz cache of detector crop boxes; reused when it "
+                        "matches the dataset, written after a detector sweep "
+                        "otherwise")
+    # detector sizing knobs (defaults = reference R101@600 configuration)
+    p.add_argument("--detector-resnet", type=int, default=101)
+    p.add_argument("--detector-scale", type=int, default=600)
+    p.add_argument("--detector-proposals", type=int, default=300)
+    # pose-net sizing knobs (defaults = reference R50@224, 56^3 heatmap)
+    p.add_argument("--pose-resnet", type=int, default=50)
+    p.add_argument("--pose-input", type=int, default=224)
+    p.add_argument("--pose-depth", type=int, default=None,
+                   help="heatmap depth bins (default: pose-input // 4)")
     return p
 
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    import dataclasses
+    import os
 
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from hand_integral_pose_estimation_tpu.config import Config
+    from hand_integral_pose_estimation_tpu.data import detector_db
     from hand_integral_pose_estimation_tpu.data.freihand import (
         FreiHandDataset,
         SyntheticFreiHand,
@@ -45,12 +73,29 @@ def main(argv=None):
     )
 
     cfg = Config()
+    hw = args.pose_input
+    depth = args.pose_depth or hw // 4
+    cfg = cfg.replace(
+        detector=dataclasses.replace(
+            cfg.detector, resnet_type=args.detector_resnet,
+            test_scale=args.detector_scale,
+            test_max_size=(cfg.detector.test_max_size
+                           if args.detector_scale == 600
+                           else args.detector_scale),
+            rpn_post_nms_top_n_test=args.detector_proposals),
+        model=dataclasses.replace(
+            cfg.model, resnet_type=args.pose_resnet,
+            input_shape=(hw, hw), output_shape=(hw // 4, hw // 4),
+            depth_dim=depth))
+
     if args.synthetic or not args.data_dir:
-        # synthetic stand-in (reuses its GT only to derive crop boxes)
         dataset = SyntheticFreiHand(n=args.synthetic_size)
+        use_detector = args.use_detector
     else:
-        # label-free challenge split (FreiHand.py:286-341)
+        # label-free challenge split (FreiHand.py:286-341): GT joints are
+        # zeros, so crop boxes MUST come from the detector (or a cached db)
         dataset = FreiHandDataset(args.data_dir, "evaluation", cfg)
+        use_detector = True
 
     model = get_pose_net(cfg.model)
     state, _ = create_train_state(
@@ -63,11 +108,71 @@ def main(argv=None):
     except FileNotFoundError:
         print("no snapshot found — evaluating a fresh model")
 
-    tester = Tester(cfg=cfg, dataset=dataset, state=state)
-    coords, batch = tester.run(batch_size=args.batch_size)
-    preds = evaluate_challenge(
-        coords, np.asarray(batch.bbox), np.asarray(batch.K),
-        np.asarray(batch.ref_bone_len), result_dir=args.result_dir)
+    if use_detector and args.bbox_db and os.path.exists(args.bbox_db):
+        # cached boxes: skip the detector stage entirely
+        names, bboxes = detector_db.load_bbox_db(args.bbox_db)
+        detector_db.attach_detector_bboxes(dataset, bboxes, names)
+        print(f"attached {len(bboxes)} cached crop boxes from {args.bbox_db}")
+        use_detector = False
+
+    if use_detector:
+        from hand_integral_pose_estimation_tpu.detect import FasterRCNN
+        from hand_integral_pose_estimation_tpu.inference import (
+            TwoStagePipeline,
+        )
+
+        detector = FasterRCNN(cfg=cfg.detector)
+        dscale = cfg.detector.test_scale
+        det_vars = detector.init(
+            {"params": jax.random.PRNGKey(0),
+             "sampling": jax.random.PRNGKey(1)},
+            jnp.zeros((1, dscale, dscale, 3)))
+        if args.detector_ckpt and os.path.exists(args.detector_ckpt):
+            import orbax.checkpoint as ocp
+            params = ocp.PyTreeCheckpointer().restore(
+                os.path.abspath(args.detector_ckpt))
+            det_vars = {"params": params,
+                        "batch_stats": det_vars.get("batch_stats", {})}
+            print(f"loaded detector params from {args.detector_ckpt}")
+        else:
+            print("no detector checkpoint — using fresh detector weights")
+
+        pose_vars = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        pipe = TwoStagePipeline(cfg, model, pose_vars, detector, det_vars)
+
+        n, bs = len(dataset), args.batch_size
+        coords_all, bbox_all = [], []
+        K_all, ref_all = [], []
+        for start in range(0, n, bs):
+            idx = np.arange(start, min(start + bs, n))
+            if len(idx) < bs:    # fixed shapes: pad, then drop below
+                idx = np.concatenate(
+                    [idx, np.full(bs - len(idx), idx[-1], idx.dtype)])
+            host = dataset.host_batch(idx)
+            out = pipe(jnp.asarray(host["image"]),
+                       jnp.asarray(host["K"]),
+                       jnp.asarray(host["ref_bone_len"]))
+            coords_all.append(np.asarray(out.coords_label))
+            bbox_all.append(np.asarray(out.crop_bbox))
+            K_all.append(host["K"])
+            ref_all.append(host["ref_bone_len"])
+        coords = np.concatenate(coords_all)[:n]
+        bbox = np.concatenate(bbox_all)[:n]
+        K = np.concatenate(K_all)[:n]
+        ref = np.concatenate(ref_all)[:n]
+        if args.bbox_db:
+            detector_db.save_bbox_db(args.bbox_db, dataset, bbox)
+            print(f"cached crop boxes -> {args.bbox_db}")
+    else:
+        tester = Tester(cfg=cfg, dataset=dataset, state=state)
+        coords, batch = tester.run(batch_size=args.batch_size)
+        bbox = np.asarray(batch.bbox)
+        K = np.asarray(batch.K)
+        ref = np.asarray(batch.ref_bone_len)
+
+    preds = evaluate_challenge(coords, bbox, K, ref,
+                               result_dir=args.result_dir)
     print(f"dumped {preds.shape[0]} predictions to "
           f"{args.result_dir}/pred.json")
 

@@ -29,6 +29,19 @@ def build_argparser():
                    help="resume from the latest snapshot (base.py:62-71)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--synthetic-size", type=int, default=256)
+    p.add_argument("--use-hand-detector", action="store_true",
+                   help="crop training patches from detector boxes instead "
+                        "of GT-projected ones (use_hand_detector mode, "
+                        "FreiHand.py:468-470); boxes come from --bbox-db, "
+                        "generated with --detector-ckpt when missing")
+    p.add_argument("--bbox-db", default=None,
+                   help="npz cache of per-image detector crop boxes "
+                        "(the reference's keypoint_bbox_db pickle, "
+                        "FreiHand.py:382-409)")
+    p.add_argument("--detector-ckpt", default=None)
+    p.add_argument("--test-sweep", action="store_true",
+                   help="epoch-end average-loss sweep over the test split "
+                        "(main/train.py:140-163)")
     return p
 
 
@@ -52,12 +65,46 @@ def main(argv=None):
 
     if args.synthetic or not args.data_dir:
         dataset = SyntheticFreiHand(n=args.synthetic_size)
+        test_dataset = (SyntheticFreiHand(n=32, seed=1)
+                        if args.test_sweep else None)
     else:
         dataset = FreiHandDataset(args.data_dir, "training", cfg)
+        test_dataset = (FreiHandDataset(args.data_dir, "testing", cfg)
+                        if args.test_sweep else None)
+
+    if args.use_hand_detector:
+        # training-db detector boxes (FreiHand.py:382-409,468-470): reuse the
+        # cache when valid, otherwise run the detector once and cache
+        import os
+
+        import jax
+        import jax.numpy as jnp
+
+        from hand_integral_pose_estimation_tpu.data import detector_db
+        from hand_integral_pose_estimation_tpu.detect import FasterRCNN
+
+        detector, det_vars = None, None
+        if not (args.bbox_db and os.path.exists(args.bbox_db)):
+            detector = FasterRCNN(cfg=cfg.detector)
+            dscale = cfg.detector.test_scale
+            det_vars = detector.init(
+                {"params": jax.random.PRNGKey(0),
+                 "sampling": jax.random.PRNGKey(1)},
+                jnp.zeros((1, dscale, dscale, 3)))
+            if args.detector_ckpt and os.path.exists(args.detector_ckpt):
+                import orbax.checkpoint as ocp
+                params = ocp.PyTreeCheckpointer().restore(
+                    os.path.abspath(args.detector_ckpt))
+                det_vars = {"params": params,
+                            "batch_stats": det_vars.get("batch_stats", {})}
+        detector_db.ensure_detector_bboxes(
+            dataset, detector, det_vars, cache_path=args.bbox_db,
+            det_cfg=cfg.detector, pad_factor=cfg.augment.pad_factor)
 
     trainer = Trainer(cfg=cfg, dataset=dataset, model_dir=args.model_dir,
                       log_dir=args.log_dir,
-                      continue_train=args.continue_train, seed=args.seed)
+                      continue_train=args.continue_train, seed=args.seed,
+                      test_dataset=test_dataset)
     trainer.fit(end_epoch=args.epochs,
                 steps_per_epoch=args.steps_per_epoch)
 

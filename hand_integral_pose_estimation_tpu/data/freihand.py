@@ -234,6 +234,8 @@ class SyntheticFreiHand:
         self.labelled = rng.random_sample(n) < labelled_fraction
         self.num_labelled = int(self.labelled.sum())
         self.num_unlabelled = n - self.num_labelled
+        #: optional (n, 4) detector crop boxes (data/detector_db.py attach)
+        self.detector_bbox = None
 
     def __len__(self):
         return self.n
@@ -250,7 +252,8 @@ class SyntheticFreiHand:
             "K": self.K[i],
             "ref_bone_len": self.ref_bone_len[i],
             "labelled": self.labelled[i],
-            "bbox_detector": None,
+            "bbox_detector": (None if self.detector_bbox is None
+                              else self.detector_bbox[i]),
             "teacher_cam_normalized": None,
         }
 

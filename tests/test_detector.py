@@ -376,6 +376,99 @@ class TestTwoStagePipeline:
         # exact bone assertion fp-degenerate here)
 
 
+class TestDetectorBBoxDb:
+    def test_generate_save_load_attach(self, tiny_detector, tmp_path, rng):
+        """Detector crop-box db (FreiHand.py:286-341,382-409 equivalent):
+        batched generation with tail padding, npz cache roundtrip, and
+        host_batch emitting the attached boxes."""
+        from hand_integral_pose_estimation_tpu.data import detector_db
+        from hand_integral_pose_estimation_tpu.data.freihand import (
+            SyntheticFreiHand,
+        )
+        model, variables, cfg = tiny_detector
+        ds = SyntheticFreiHand(n=5, image_hw=(64, 64), seed=4)
+        bbox = detector_db.generate_detector_bboxes(
+            ds, model, variables, cfg, batch_size=2)
+        assert bbox.shape == (5, 4)
+        assert np.isfinite(bbox).all()
+        assert (bbox[:, 2:] > 0).all()          # positive (w, h)
+        # square + pad x1.75 crop-box contract (augment.py:326-342)
+        np.testing.assert_allclose(bbox[:, 2], bbox[:, 3], rtol=1e-5)
+
+        path = str(tmp_path / "bbox_db.npz")
+        detector_db.save_bbox_db(path, ds, bbox)
+        names, loaded = detector_db.load_bbox_db(path)
+        np.testing.assert_allclose(loaded, bbox)
+        detector_db.attach_detector_bboxes(ds, loaded, names)
+        host = ds.host_batch(np.arange(3))
+        np.testing.assert_allclose(host["bbox_detector"], bbox[:3])
+
+    def test_stale_cache_detected(self, tiny_detector, tmp_path):
+        from hand_integral_pose_estimation_tpu.data import detector_db
+        from hand_integral_pose_estimation_tpu.data.freihand import (
+            SyntheticFreiHand,
+        )
+        ds5 = SyntheticFreiHand(n=5, image_hw=(64, 64))
+        ds3 = SyntheticFreiHand(n=3, image_hw=(64, 64))
+        bbox = np.tile([32.0, 32.0, 20.0, 20.0], (5, 1)).astype(np.float32)
+        path = str(tmp_path / "bbox_db.npz")
+        detector_db.save_bbox_db(path, ds5, bbox)
+        names, loaded = detector_db.load_bbox_db(path)
+        with pytest.raises((ValueError, AssertionError)):
+            detector_db.attach_detector_bboxes(ds3, loaded[:3], names)
+
+    def test_ensure_uses_cache(self, tiny_detector, tmp_path):
+        """ensure_detector_bboxes must not run the detector when a matching
+        cache exists (the reference's pickle-cache fast path)."""
+        from hand_integral_pose_estimation_tpu.data import detector_db
+        from hand_integral_pose_estimation_tpu.data.freihand import (
+            SyntheticFreiHand,
+        )
+        model, variables, cfg = tiny_detector
+        ds = SyntheticFreiHand(n=4, image_hw=(64, 64))
+        bbox = np.tile([30.0, 30.0, 22.0, 22.0], (4, 1)).astype(np.float32)
+        path = str(tmp_path / "bbox_db.npz")
+        detector_db.save_bbox_db(path, ds, bbox)
+        # detector=None would crash if the cache were ignored
+        detector_db.ensure_detector_bboxes(ds, None, None, cache_path=path)
+        host = ds.host_batch(np.arange(4))
+        np.testing.assert_allclose(host["bbox_detector"], bbox)
+
+
+class TestEvaluateCLI:
+    def test_pred_json_from_images_alone(self, tmp_path):
+        """Integration: the evaluate CLI runs the jitted two-stage
+        detect->crop->pose program on images with NO GT joints and produces
+        a valid challenge pred.json (+ bbox cache), then reuses the cache on
+        a second run (VERDICT item 2)."""
+        import json
+        from hand_integral_pose_estimation_tpu.cli import evaluate as ecli
+
+        res = tmp_path / "res"
+        db = tmp_path / "bbox.npz"
+        argv = [
+            "--synthetic", "--synthetic-size", "5", "--batch-size", "2",
+            "--use-detector",
+            "--detector-resnet", "18", "--detector-scale", "64",
+            "--detector-proposals", "16",
+            "--pose-resnet", "18", "--pose-input", "64",
+            "--model-dir", str(tmp_path / "no_ckpt"),
+            "--result-dir", str(res), "--bbox-db", str(db),
+        ]
+        ecli.main(argv)
+        assert db.exists()
+        pred = json.load(open(res / "pred.json"))
+        xyz, verts = pred
+        assert len(xyz) == 5 and len(verts) == 5
+        arr = np.asarray(xyz)
+        assert arr.shape == (5, 21, 3)
+        assert np.isfinite(arr).all()
+        # second run consumes the cached db (no detector sweep)
+        ecli.main(argv)
+        assert np.isfinite(np.asarray(
+            json.load(open(res / "pred.json"))[0])).all()
+
+
 class TestVGGBackbone:
     def test_vgg_base_stride16(self, rng):
         from hand_integral_pose_estimation_tpu.detect.vgg import (

@@ -71,6 +71,18 @@ class TestTrainer:
         assert m["loss"] < m0["loss"]
         assert np.isfinite(m["loss"])
 
+    def test_trainer_consumes_detector_bboxes(self):
+        """use_hand_detector mode: attached detector crop boxes flow through
+        host_batch -> preprocess -> train step (FreiHand.py:468-470)."""
+        cfg = small_config()
+        ds = SyntheticFreiHand(n=8, image_hw=(64, 64), seed=1)
+        ds.detector_bbox = np.tile(
+            np.array([32.0, 32.0, 40.0, 40.0], np.float32), (8, 1))
+        t = Trainer(cfg=cfg, dataset=ds, model_dir=tempfile.mkdtemp(),
+                    integral_impl="xla")
+        m = t.run_epoch(0, num_steps=1, log_every=100)
+        assert np.isfinite(m["loss"])
+
     def test_checkpoint_roundtrip(self):
         cfg = small_config()
         ds = SyntheticFreiHand(n=8, image_hw=(64, 64), seed=1)
