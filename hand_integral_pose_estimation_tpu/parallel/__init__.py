@@ -3,7 +3,10 @@
 from hand_integral_pose_estimation_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     make_mesh,
+    make_multihost_mesh,
     param_sharding_rules,
+    process_batch_size,
     replicated,
     shard_batch,
+    shard_host_batch,
 )

@@ -35,6 +35,58 @@ def make_mesh(data_axis: str = "data", model_axis: str = "model",
     return Mesh(arr, (data_axis, model_axis))
 
 
+def make_multihost_mesh(data_axis: str = "data", model_axis: str = "model",
+                        model_parallelism: int = 1) -> Mesh:
+    """Process-count-aware (data, model) mesh for multi-host (DCN) runs.
+
+    Layout rule (scaling-book recipe): the `model` axis must ride ICI, so
+    model groups are confined to one process's local devices; the `data`
+    axis spans processes, so gradient psums cross DCN only on the data axis
+    — exactly the layout pure-DP wants. Replaces the reference's
+    single-process balanced_parallel.py scope with a layout that scales to
+    multi-host without code changes.
+
+    With one process this reduces to `make_mesh` over all devices.
+    """
+    n_proc = jax.process_count()
+    local = jax.local_device_count()
+    assert local % model_parallelism == 0, (local, model_parallelism)
+    # order global devices process-major so each mesh row's model group is
+    # intra-process (jax.devices() interleaving is not guaranteed)
+    by_proc = [[] for _ in range(n_proc)]
+    for d in jax.devices():
+        by_proc[d.process_index].append(d)
+    rows = []
+    for devs in by_proc:
+        assert len(devs) == local, (len(devs), local)
+        rows.append(np.array(devs).reshape(local // model_parallelism,
+                                           model_parallelism))
+    arr = np.concatenate(rows, axis=0)     # (n_proc*local/mp, mp)
+    return Mesh(arr, (data_axis, model_axis))
+
+
+def process_batch_size(global_batch: int) -> int:
+    """Per-host slice of a global batch (each host feeds only its shard)."""
+    n = jax.process_count()
+    assert global_batch % n == 0, (global_batch, n)
+    return global_batch // n
+
+
+def shard_host_batch(mesh: Mesh, local_batch, data_axis: str = "data"):
+    """Per-host local batch pytree -> globally-sharded jax.Arrays.
+
+    Each process passes ONLY its local shard (size
+    `process_batch_size(global)`); `make_array_from_process_local_data`
+    assembles the global array without any cross-host copies. On one process
+    this equals `shard_batch`.
+    """
+    s = batch_sharding(mesh, data_axis)
+
+    def put(x):
+        return jax.make_array_from_process_local_data(s, np.asarray(x))
+    return jax.tree_util.tree_map(put, local_batch)
+
+
 def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
     """Leading-axis batch sharding (leaves of a Batch pytree)."""
     return NamedSharding(mesh, P(data_axis))

@@ -58,8 +58,9 @@ class Trainer:
     scan_steps: int = 1
     #: decode JPEG batches with the C++ prefetch loader (native/hipe_io.cpp),
     #: overlapping the next batch's decode with the current device step;
-    #: only takes effect for file-backed datasets
-    native_prefetch: bool = False
+    #: only takes effect for file-backed datasets (default ON — the input
+    #: pipeline was the reference's bottleneck, SURVEY.md §5)
+    native_prefetch: bool = True
     metrics_dir: Optional[str] = None
     #: write a jax.profiler trace of the first few steps of the first epoch
     profile_dir: Optional[str] = None
@@ -144,24 +145,33 @@ class Trainer:
             return jax.lax.scan(body, state, (keys, stacked_host))
         return fn
 
-    def _host_batch_kwargs(self, rng):
+    def _sample_records(self, rng):
         idx = self.dataset.sample_indices(rng, self.cfg.train.batch_size)
+        return [self.dataset.records[i] for i in idx]
+
+    def _host_batch_kwargs(self, rng):
         if self._loader is not None:
             # double-buffered: collect the batch submitted last call, submit
-            # this one (decode overlaps the device step in between)
+            # the next one (its decode overlaps the coming device step); each
+            # batch is decoded exactly once
             from hand_integral_pose_estimation_tpu.data.freihand import (
                 stack_host_batch,
             )
-            recs = [self.dataset.records[i] for i in idx]
+            recs = self._sample_records(rng)
             if self._pending_recs is None:
+                # pipeline warm-up: submit this batch, pre-sample the next
                 self._loader.submit([r.img_path for r in recs])
                 self._pending_recs = recs
-            images = self._loader.wait()
+                recs = self._sample_records(rng)
             ready = self._pending_recs
+            images = self._loader.wait()
+            assert len(images) == len(ready), (len(images), len(ready))
             self._loader.submit([r.img_path for r in recs])
             self._pending_recs = recs
-            host = stack_host_batch(ready, list(images[:len(ready)]))
+            host = stack_host_batch(ready, list(images))
         else:
+            idx = self.dataset.sample_indices(rng,
+                                              self.cfg.train.batch_size)
             host = self.dataset.host_batch(idx)
         return {
             "image": host["image"],

@@ -69,3 +69,68 @@ class TestDecode:
         if loader.available:
             with pytest.raises(IOError):
                 loader.wait()
+
+
+class TestTrainerPrefetch:
+    def test_each_batch_decoded_once(self, jpeg_files):
+        """Default-on native prefetch: warm-up submits this batch and
+        pre-samples the next; afterwards every step waits on the previous
+        submit and submits exactly one new batch (no first-call double
+        decode, trainer.py round-1 weakness #6)."""
+        import tempfile
+
+        import jax
+        from hand_integral_pose_estimation_tpu.config import (
+            Config, ModelConfig, TrainConfig,
+        )
+        from hand_integral_pose_estimation_tpu.data.freihand import (
+            SampleRecord,
+        )
+        from hand_integral_pose_estimation_tpu.training import Trainer
+
+        paths, _ = jpeg_files
+        K = np.array([[531.9, 0, 112], [0, 532.2, 112], [0, 0, 1]],
+                     np.float64)
+        rng = np.random.RandomState(0)
+
+        class FileDataset:
+            def __init__(self):
+                self.records = [
+                    SampleRecord(
+                        img_path=p, K=K,
+                        joint_cam=(np.array([0, 0, 0.45])
+                                   + rng.uniform(-0.03, 0.03, (21, 3))),
+                        ref_bone_len=0.03, labelled=True, version="gs",
+                        idx=i)
+                    for i, p in enumerate(paths)]
+
+            def __len__(self):
+                return len(self.records)
+
+            def sample_indices(self, r, bs, labelled_prob=None):
+                return r.randint(0, len(self.records), bs)
+
+        cfg = Config(
+            model=ModelConfig(resnet_type=18, input_shape=(64, 64),
+                              output_shape=(16, 16), depth_dim=8,
+                              compute_dtype="float32"),
+            train=TrainConfig(batch_size=4, lr=1e-3))
+        t = Trainer(cfg=cfg, dataset=FileDataset(),
+                    model_dir=tempfile.mkdtemp(), integral_impl="xla")
+        assert t._loader is not None, "native prefetch should be default-on"
+
+        submitted = []
+        orig_submit = t._loader.submit
+        t._loader.submit = lambda ps: (submitted.append(tuple(ps)),
+                                       orig_submit(ps))[1]
+        waits = []
+        orig_wait = t._loader.wait
+        t._loader.wait = lambda: (waits.append(1), orig_wait())[1]
+
+        m = t.run_epoch(0, num_steps=3, log_every=100)
+        assert np.isfinite(m["loss"])
+        # 3 steps: warm-up submit + one submit per step; one wait per step
+        assert len(submitted) == 4, submitted
+        assert len(waits) == 3
+        # the round-1 bug resubmitted the SAME paths immediately at warm-up
+        assert submitted[0] != submitted[1]

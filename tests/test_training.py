@@ -154,6 +154,69 @@ class TestDataParallel:
                                        atol=2.5 * cfg.train.lr)
 
 
+class TestMultihostMesh:
+    def test_reduces_to_single_process_mesh(self):
+        """One process: same device set/shape as make_mesh; model groups are
+        intra-process by construction."""
+        from hand_integral_pose_estimation_tpu.parallel import (
+            make_multihost_mesh, process_batch_size,
+        )
+        mesh = make_multihost_mesh(model_parallelism=2)
+        assert mesh.devices.shape == (4, 2)
+        assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+            "data": 4, "model": 2}
+        for row in mesh.devices:
+            assert len({d.process_index for d in row}) == 1
+        assert process_batch_size(16) == 16
+
+    def test_shard_host_batch_matches_shard_batch(self):
+        """Single process: shard_host_batch (the multi-host feed path) must
+        build the same global arrays as shard_batch."""
+        from hand_integral_pose_estimation_tpu.parallel import (
+            make_multihost_mesh, shard_host_batch,
+        )
+        mesh = make_multihost_mesh()
+        batch = {"x": np.arange(32, dtype=np.float32).reshape(8, 4),
+                 "y": np.ones((8, 2, 2), np.float32)}
+        a = shard_host_batch(mesh, batch)
+        b = shard_batch(mesh, batch)
+        for k in batch:
+            np.testing.assert_array_equal(np.asarray(a[k]),
+                                          np.asarray(b[k]))
+            assert a[k].sharding == b[k].sharding
+
+    def test_train_step_over_multihost_mesh(self):
+        """Full sharded train step fed through the multi-host batch path."""
+        from hand_integral_pose_estimation_tpu.data import pipeline
+        from hand_integral_pose_estimation_tpu.models import get_pose_net
+        from hand_integral_pose_estimation_tpu.parallel import (
+            make_multihost_mesh, shard_host_batch,
+        )
+        from hand_integral_pose_estimation_tpu.training.train_step import (
+            make_train_step,
+        )
+        cfg = small_config()
+        mesh = make_multihost_mesh(model_parallelism=2)
+        ds = SyntheticFreiHand(n=8, image_hw=(64, 64), seed=2)
+        host = ds.host_batch(np.arange(8))
+        batch = pipeline.make_train_batch(
+            jax.random.PRNGKey(0), jnp.asarray(host["image"]),
+            jnp.asarray(host["joint_cam"]), jnp.asarray(host["K"]), None,
+            jnp.asarray(host["labelled"]), None,
+            jnp.asarray(host["ref_bone_len"]), cfg.augment, (64, 64))
+        model = get_pose_net(cfg.model)
+        tx = make_optimizer(cfg.train, 1)
+        state, _ = create_train_state(model, jax.random.PRNGKey(0),
+                                      jnp.zeros((1, 64, 64, 3)), cfg.train,
+                                      tx=tx)
+        step = make_train_step(model, tx, cfg, integral_impl="xla")
+        with jax.set_mesh(mesh):
+            sbatch = shard_host_batch(
+                mesh, jax.tree_util.tree_map(np.asarray, batch))
+            _, metrics = step(state, sbatch)
+            assert np.isfinite(float(metrics["loss"]))
+
+
 class TestTester:
     def test_tail_batch_not_dropped(self):
         """n % batch_size != 0: every sample is scored exactly once (the
