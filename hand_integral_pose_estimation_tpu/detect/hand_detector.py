@@ -94,6 +94,17 @@ def detect_hand_crop_bbox(model: FasterRCNN, variables,
     `find_bb_hand_detector`). Returns (B, 4)."""
     det = detect(model, variables, images_rgb, cfg)
     packed = jnp.concatenate([det.boxes, det.scores[..., None]], axis=-1)
-    return jax.vmap(
+    crop = jax.vmap(
         lambda p: bbox_mod.bbox_from_detection(p, pad_factor=pad_factor)
     )(packed)
+    # no valid detection (or a degenerate best box): fall back to the square
+    # full-image crop so downstream tprime/warp math stays finite — the
+    # fixed-shape equivalent of the reference simply having no box to crop
+    # with (it would index an empty cls_dets)
+    H, W = images_rgb.shape[1], images_rgb.shape[2]
+    full = bbox_mod.scale_bbox(
+        jnp.asarray([W / 2.0, H / 2.0, float(W), float(H)], crop.dtype),
+        pad_factor=1.0)
+    ok = ((det.scores.max(axis=-1) > 0.0)
+          & (crop[:, 2] > 0.0) & (crop[:, 3] > 0.0))
+    return jnp.where(ok[:, None], crop, full[None, :])
