@@ -1,19 +1,28 @@
-"""Headline benchmark: FreiHAND end-to-end inference images/sec/chip.
+"""Benchmarks for the BASELINE.md measurement configs, TPU-side.
 
-Measures BASELINE config #2 — batched on-device crop/normalise -> ResNet-50
-backbone + deconv head -> fused Pallas soft-argmax — on the attached TPU
-chip, and compares against a cached CPU reference measurement of the
-equivalent torch pipeline (per-sample cv2 double-warp preprocessing + torch
-float32 ResNet-50 forward + softmax-integral decode), which stands in for the
-reference implementation's CPU throughput (its published hardware is GPU but
-the driver baseline is CPU-reference; see BASELINE.md).
+Default invocation (the driver contract) prints ONE JSON line — config #2,
+the headline FreiHAND end-to-end inference images/sec/chip — and compares
+against a cached CPU reference measurement of the equivalent torch pipeline
+(per-sample cv2 double-warp preprocessing + torch float32 ResNet-50 forward
++ softmax-integral decode; the reference implementation's CPU throughput,
+see BASELINE.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Flags benchmark the other configs with the same loop-differenced rigor:
+    python bench.py --config 3        # train step (augment+fwd+bwd+Adam)
+    python bench.py --config 4        # two-stage detector pipeline
+    python bench.py --config 5        # teacher-label generation (21 rots)
+    python bench.py --batch 256       # headline at a different batch size
+    python bench.py --all             # every config, one JSON line each
+
+All device measurements chain iterations through a data dependency inside a
+device-side `lax.fori_loop`, timed at two loop lengths and differenced —
+this cancels the axon tunnel's ~35 ms/call RPC latency and defeats both its
+identical-computation caching and XLA dead-code elimination (see CLAUDE.md).
 """
 
+import argparse
 import json
 import os
-import sys
 import time
 
 import numpy as np
@@ -24,11 +33,39 @@ BATCH = 32
 STEPS = 20
 
 
-def measure_tpu() -> float:
-    """Chained on-device loop (data dependency between iterations), timed at
-    two loop lengths and differenced — this cancels the per-call RPC latency
-    of the axon tunnel AND defeats its identical-computation result caching
-    (a single queued-dispatch loop measures neither)."""
+def _pose_inputs(batch):
+    import jax.numpy as jnp
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(
+        rng.randint(0, 255, (batch, 224, 224, 3)).astype(np.float32))
+    K = jnp.broadcast_to(
+        jnp.asarray([[531.9, 0, 112.0], [0, 532.2, 112.0], [0, 0, 1.0]],
+                    jnp.float32), (batch, 3, 3))
+    joints = jnp.asarray(
+        (np.array([0, 0, 0.45]) + rng.uniform(-0.03, 0.03, (batch, 21, 3))
+         ).astype(np.float32))
+    ref_len = jnp.ones((batch,), jnp.float32)
+    return images, joints, K, ref_len
+
+
+def _diff_timed(loop_fn, n_steps=STEPS, reps=5):
+    """Time `loop_fn(n)` at two loop lengths and difference: per-iteration
+    seconds with RPC latency and warmup cancelled."""
+    def timed(n):
+        loop_fn(n)                      # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            loop_fn(n)
+            best = min(best, time.perf_counter() - t0)
+        return best
+    t_short = timed(1)
+    t_long = timed(1 + n_steps)
+    return (t_long - t_short) / n_steps
+
+
+def measure_inference(batch=BATCH):
+    """Config #2: on-device crop/normalise -> R50 -> fused soft-argmax."""
     import functools
 
     import jax
@@ -36,34 +73,22 @@ def measure_tpu() -> float:
     from hand_integral_pose_estimation_tpu.config import Config
     from hand_integral_pose_estimation_tpu.data import pipeline
     from hand_integral_pose_estimation_tpu.models import get_pose_net
-
-    cfg = Config()
-    net = get_pose_net(cfg.model)
-    rng = np.random.RandomState(0)
-    images = jnp.asarray(
-        rng.randint(0, 255, (BATCH, 224, 224, 3)).astype(np.float32))
-    K = jnp.broadcast_to(
-        jnp.asarray([[531.9, 0, 112.0], [0, 532.2, 112.0], [0, 0, 1.0]],
-                    jnp.float32), (BATCH, 3, 3))
-    joints = jnp.asarray(
-        (np.array([0, 0, 0.45]) + rng.uniform(-0.03, 0.03, (BATCH, 21, 3))
-         ).astype(np.float32))
-    ref_len = jnp.ones((BATCH,), jnp.float32)
-    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
-
     from hand_integral_pose_estimation_tpu.ops.fused_head import (
         head_projection_integral,
     )
 
+    cfg = Config()
+    net = get_pose_net(cfg.model)
+    images, joints, K, ref_len = _pose_inputs(batch)
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
+
     @functools.partial(jax.jit, static_argnums=(6,))
     def e2e_loop(params, batch_stats, images, joints, K, ref_len, n):
         def body(i, imgs):
-            batch = pipeline.make_eval_batch(imgs, joints, K, None, ref_len,
-                                             cfg.augment,
-                                             cfg.model.input_shape)
+            b = pipeline.make_eval_batch(imgs, joints, K, None, ref_len,
+                                         cfg.augment, cfg.model.input_shape)
             feats = net.apply({"params": params, "batch_stats": batch_stats},
-                              batch.image, train=False,
-                              return_features=True)
+                              b.image, train=False, return_features=True)
             Wp, bp = net.final_projection(params)
             coords = head_projection_integral(
                 feats, Wp, bp, cfg.model.num_joints, cfg.model.depth_dim)
@@ -73,21 +98,146 @@ def measure_tpu() -> float:
 
     args = (variables["params"], variables["batch_stats"], images, joints,
             K, ref_len)
+    per_batch = _diff_timed(
+        lambda n: np.asarray(e2e_loop(*args, n)[0, 0, 0]))
+    return batch / per_batch
 
-    def timed(n, reps=5):
-        _ = np.asarray(e2e_loop(*args, n)[0, 0, 0])  # compile + warm
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            out = e2e_loop(*args, n)
-            _ = np.asarray(out[0, 0, 0])             # force completion
-            best = min(best, time.perf_counter() - t0)
-        return best
 
-    t_short = timed(1)
-    t_long = timed(1 + STEPS)
-    per_batch = (t_long - t_short) / STEPS
-    return BATCH / per_batch
+def measure_train(batch=BATCH):
+    """Config #3: augmented preprocess + forward + backward + Adam, the
+    semi-supervised combined loss (the Trainer's device-side work)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from hand_integral_pose_estimation_tpu.config import Config
+    from hand_integral_pose_estimation_tpu.data import pipeline
+    from hand_integral_pose_estimation_tpu.models import get_pose_net
+    from hand_integral_pose_estimation_tpu.training.state import TrainState
+    from hand_integral_pose_estimation_tpu.training.train_step import (
+        make_train_step,
+    )
+
+    cfg = Config()
+    net = get_pose_net(cfg.model)
+    images, joints, K, ref_len = _pose_inputs(batch)
+    labelled = jnp.arange(batch) % 2 == 0
+    teacher = joints * 1.001
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
+    tx = optax.adam(1e-3)
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_state=tx.init(variables["params"]))
+    train_step = make_train_step(net, tx, cfg)
+
+    @functools.partial(jax.jit, static_argnums=(5,))
+    def train_loop(state, images, joints, K, ref_len, n):
+        def body(i, carry):
+            state, imgs = carry
+            b = pipeline.make_train_batch(
+                jax.random.fold_in(jax.random.PRNGKey(0), i), imgs, joints,
+                K, None, labelled, teacher, ref_len, cfg.augment,
+                cfg.model.input_shape)
+            state, metrics = train_step(state, b)
+            return state, imgs + 1e-9 * metrics["loss"]
+        return jax.lax.fori_loop(0, n, body, (state, images))
+
+    def run(n):
+        out_state, out_imgs = train_loop(state, images, joints, K,
+                                         ref_len, n)
+        np.asarray(out_imgs[0, 0, 0])
+    per_batch = _diff_timed(run, n_steps=10)
+    return batch / per_batch
+
+
+def measure_detector(batch=4, size=600, resnet_type=101):
+    """Config #4: the full two-stage detection call (blob -> R101-C4 ->
+    RPN -> NMS proposals -> ROIAlign -> head -> decode -> class NMS)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from hand_integral_pose_estimation_tpu.config import DetectorConfig
+    from hand_integral_pose_estimation_tpu.detect.faster_rcnn import (
+        FasterRCNN,
+    )
+    from hand_integral_pose_estimation_tpu.detect.hand_detector import detect
+
+    cfg = DetectorConfig(resnet_type=resnet_type, test_scale=size,
+                         test_max_size=size)
+    model = FasterRCNN(cfg=cfg)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(
+        rng.randint(0, 255, (batch, size, size, 3)).astype(np.float32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        jnp.zeros((1, size, size, 3)))
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def det_loop(variables, images, n):
+        def body(i, imgs):
+            d = detect(model, variables, imgs, cfg)
+            return imgs + 1e-9 * (jnp.sum(d.boxes) + jnp.sum(d.scores))
+        return jax.lax.fori_loop(0, n, body, images)
+
+    per_call = _diff_timed(
+        lambda n: np.asarray(det_loop(variables, images, n)[0, 0, 0]),
+        n_steps=10, reps=3)
+    return batch / per_call, per_call * 1e3
+
+
+def measure_teacher(batch=8, num_rotations=21):
+    """Config #5: teacher-label generation — 21-rotation batched warp +
+    teacher forward + variance filter per image."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from hand_integral_pose_estimation_tpu.config import Config
+    from hand_integral_pose_estimation_tpu.distill.teacher_labels import (
+        generate_filtered_labels,
+    )
+    from hand_integral_pose_estimation_tpu.models import get_pose_net
+    from hand_integral_pose_estimation_tpu.ops.fused_head import (
+        head_projection_integral,
+    )
+
+    cfg = Config()
+    net = get_pose_net(cfg.model)
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
+    images, joints, K, _ = _pose_inputs(batch)
+    images = jnp.asarray(np.random.RandomState(1).randint(
+        0, 255, (batch, 480, 480, 3)).astype(np.float32))
+    K = jnp.broadcast_to(
+        jnp.asarray([[531.9, 0, 240.0], [0, 532.2, 240.0], [0, 0, 1.0]],
+                    jnp.float32), (batch, 3, 3))
+    bbox = jnp.broadcast_to(jnp.asarray([240.0, 240.0, 260.0, 260.0]),
+                            (batch, 4))
+    labelled = jnp.zeros((batch,), bool)
+
+    def teacher_apply(patches):
+        feats = net.apply(variables, patches, train=False,
+                          return_features=True)
+        Wp, bp = net.final_projection(variables["params"])
+        return head_projection_integral(feats, Wp, bp,
+                                        cfg.model.num_joints,
+                                        cfg.model.depth_dim)
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def gen_loop(images, joints, n):
+        def body(i, imgs):
+            out = generate_filtered_labels(
+                teacher_apply, imgs, K, bbox, labelled, joints,
+                cfg.augment, num_rotations=num_rotations)
+            return imgs + 1e-9 * jnp.sum(out.joint_cam_normalized)
+        return jax.lax.fori_loop(0, n, body, images)
+
+    per_call = _diff_timed(
+        lambda n: np.asarray(gen_loop(images, joints, n)[0, 0, 0]),
+        n_steps=10, reps=3)
+    return batch / per_call
 
 
 def measure_cpu_reference() -> float:
@@ -188,24 +338,59 @@ def measure_cpu_reference() -> float:
     return B / dt
 
 
-def main():
-    force_cpu = "--cpu-baseline" in sys.argv
-    if force_cpu or not os.path.exists(_CACHE):
+def _cpu_baseline(force=False):
+    if force or not os.path.exists(_CACHE):
         cpu_ips = measure_cpu_reference()
         with open(_CACHE, "w") as f:
             json.dump({"cpu_images_per_sec": cpu_ips,
                        "batch": 8, "note": "torch CPU R50 posenet + cv2 "
                        "double-warp preprocess + integral decode"}, f)
     with open(_CACHE) as f:
-        cpu_ips = json.load(f)["cpu_images_per_sec"]
+        return json.load(f)["cpu_images_per_sec"]
 
-    tpu_ips = measure_tpu()
-    print(json.dumps({
-        "metric": "freihand_e2e_inference_images_per_sec_per_chip",
-        "value": round(tpu_ips, 1),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(tpu_ips / cpu_ips, 2),
-    }))
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", type=int, action="append", default=None,
+                   choices=(2, 3, 4, 5))
+    p.add_argument("--all", action="store_true")
+    p.add_argument("--batch", type=int, default=BATCH)
+    p.add_argument("--cpu-baseline", action="store_true",
+                   help="re-measure the cached CPU reference")
+    args = p.parse_args()
+    configs = args.config or [2]
+    if args.all:
+        configs = [2, 3, 4, 5]
+
+    cpu_ips = _cpu_baseline(force=args.cpu_baseline)
+
+    for c in configs:
+        if c == 2:
+            ips = measure_inference(args.batch)
+            print(json.dumps({
+                "metric": "freihand_e2e_inference_images_per_sec_per_chip",
+                "value": round(ips, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(ips / cpu_ips, 2),
+            }))
+        elif c == 3:
+            ips = measure_train(args.batch)
+            print(json.dumps({
+                "metric": "freihand_train_images_per_sec_per_chip",
+                "value": round(ips, 1), "unit": "images/sec/chip",
+                "batch": args.batch}))
+        elif c == 4:
+            ips, ms = measure_detector()
+            print(json.dumps({
+                "metric": "detector_two_stage_images_per_sec_per_chip",
+                "value": round(ips, 1), "unit": "images/sec/chip",
+                "ms_per_batch4_600px": round(ms, 1)}))
+        elif c == 5:
+            ips = measure_teacher()
+            print(json.dumps({
+                "metric": "teacher_label_images_per_sec_per_chip",
+                "value": round(ips, 1), "unit": "images/sec/chip",
+                "rotations": 21}))
 
 
 if __name__ == "__main__":

@@ -104,6 +104,16 @@ class DetectorConfig:
 
     resnet_type: int = 101
     classes: Tuple[str, ...] = ("__background__", "hand")
+    #: freeze BatchNorm in the backbone/tail (resnet.py:261-284 — correct
+    #: when fine-tuning from ImageNet stats, the reference's only mode).
+    #: MUST be False when training from scratch: identity-BN lets residual
+    #: activations grow ~100x by layer3, which stalls RPN optimisation
+    #: (measured in the detector convergence study, PERFORMANCE.md).
+    freeze_bn: bool = True
+    #: backbone/tail normalisation: "batch" (reference parity) or "group"
+    #: (GroupNorm-32 — the from-scratch recipe; batch-size independent and
+    #: train=eval consistent, see models/resnet.py:_Norm)
+    norm: str = "batch"
     anchor_scales: Tuple[int, ...] = (4, 8, 16, 32)   # hand_detector.py:120
     anchor_ratios: Tuple[float, float, float] = (0.5, 1.0, 2.0)
     feat_stride: int = 16

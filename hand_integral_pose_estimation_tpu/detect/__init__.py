@@ -31,6 +31,11 @@ from hand_integral_pose_estimation_tpu.detect.hand_detector import (  # noqa: F4
     detect_hand_crop_bbox,
     prepare_blob,
 )
+from hand_integral_pose_estimation_tpu.detect.synthetic import (  # noqa: F401
+    SyntheticBoxes,
+    flip_batch,
+    make_synthetic_box_dataset,
+)
 from hand_integral_pose_estimation_tpu.detect.vgg import (  # noqa: F401
     VGG16Base,
     VGG16Tail,

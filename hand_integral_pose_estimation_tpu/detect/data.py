@@ -3,8 +3,12 @@
 Capability equivalent of the reference's detector data infrastructure:
 `lib/datasets/freihand.py:53-64` (the `freihand` imdb reading the GT-bbox db
 derived from projected keypoints), `lib/roi_data_layer/**` (roidb/minibatch
-assembly — here a thin fixed-shape batch builder since blobs are built on
-device) and `lib/datasets/freihand_eval.py:109-209` (VOC-protocol AP).
+assembly — here a fixed-shape batch builder since blobs are built on
+device; horizontal flipping via `flip_rng`; the roi_data_layer's
+aspect-ratio grouping exists to batch same-shaped variable-size images and
+is moot here — FreiHAND images are square 224x224 and TPU batches are
+fixed-shape by construction) and `lib/datasets/freihand_eval.py:109-209`
+(VOC-protocol AP).
 """
 
 from __future__ import annotations
@@ -33,9 +37,17 @@ class DetectorBatch(NamedTuple):
 
 
 def build_detector_batch(dataset, indices: Sequence[int],
-                         max_gt: int = 1) -> DetectorBatch:
+                         max_gt: int = 1,
+                         flip_rng: "np.random.RandomState | None" = None
+                         ) -> DetectorBatch:
     """Host batch for detector training: images + GT hand boxes projected
-    from the pose annotations (one hand per FreiHAND image)."""
+    from the pose annotations (one hand per FreiHAND image).
+
+    `flip_rng` enables the roi_data_layer horizontal-flip augmentation
+    (lib/roi_data_layer/roidb.py append_flipped_images — the reference
+    doubles the roidb with flipped copies; here each sample flips with
+    p=0.5 per batch, the same marginal distribution without doubling
+    host memory)."""
     host = dataset.host_batch(np.asarray(indices))
     imgs = host["image"]
     B = imgs.shape[0]
@@ -51,6 +63,11 @@ def build_detector_batch(dataset, indices: Sequence[int],
     gt_classes[:, 0] = 1
     gt_valid = np.zeros((B, max_gt), bool)
     gt_valid[:, 0] = True
+    if flip_rng is not None:
+        from hand_integral_pose_estimation_tpu.detect.synthetic import (
+            flip_batch,
+        )
+        imgs, gt_boxes = flip_batch(imgs, gt_boxes, flip_rng.rand(B) < 0.5)
     return DetectorBatch(images=imgs, gt_boxes=gt_boxes,
                          gt_classes=gt_classes, gt_valid=gt_valid)
 

@@ -8,8 +8,11 @@ adds the anchor/proposal target layers (detect/rpn.py, detect/targets.py)
 and the CE + smooth-L1 losses.
 
 The reference freezes BN in the detector backbone at all times
-(resnet.py:261-284); we run BatchNorm in inference mode (`train=False` to the
-backbone) for the same behaviour.
+(resnet.py:261-284) because it always fine-tunes from ImageNet weights whose
+BN statistics are real; `cfg.freeze_bn=True` (default) reproduces that. When
+training from scratch set `freeze_bn=False` — identity-BN statistics let
+residual activations grow ~100x by layer3 and stall RPN optimisation (see
+the convergence study, cli/detector_convergence.py + PERFORMANCE.md).
 """
 
 from __future__ import annotations
@@ -65,9 +68,12 @@ class FasterRCNN(nn.Module):
         num_classes = len(c.classes)
         A = len(c.anchor_scales) * len(c.anchor_ratios)
 
+        # BN mode: frozen (inference stats) in the reference's fine-tuning
+        # setup; live when training from scratch (cfg.freeze_bn=False)
+        bn_train = train and not c.freeze_bn
         base = ResNetBackbone(c.resnet_type, self.dtype, None,
-                              num_stages=3, name="base")
-        feats = base(images.astype(self.dtype), train=False)  # frozen BN
+                              num_stages=3, norm=c.norm, name="base")
+        feats = base(images.astype(self.dtype), train=bn_train)
         fh, fw = feats.shape[1], feats.shape[2]
 
         # RPN is convolutional: run batched directly (rpn.py:31-56)
@@ -119,8 +125,9 @@ class FasterRCNN(nn.Module):
         R = rois.shape[1]
         pooled = pooled.reshape(B * R, c.pooling_size, c.pooling_size, -1)
 
-        tail = ResNetStage4(c.resnet_type, self.dtype, None, name="tail")
-        h = tail(pooled, train=False).mean(axis=(1, 2))     # (B*R, 2048)
+        tail = ResNetStage4(c.resnet_type, self.dtype, None, norm=c.norm,
+                            name="tail")
+        h = tail(pooled, train=bn_train).mean(axis=(1, 2))  # (B*R, 2048)
 
         cls_logits = nn.Dense(num_classes, dtype=self.dtype,
                               name="cls_score")(h).reshape(B, R, num_classes)

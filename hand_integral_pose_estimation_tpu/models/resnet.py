@@ -42,14 +42,26 @@ _conv_init = variance_scaling(2.0, "fan_out", "truncated_normal")
 
 
 class _Norm(nn.Module):
-    """BatchNorm with optional cross-replica stat sync and freeze."""
+    """Normalisation layer: BatchNorm (optional cross-replica stat sync and
+    freeze) or GroupNorm.
+
+    `kind="group"` (GN, 32 groups) is the from-scratch detector recipe:
+    batch-size independent and train=eval consistent, where small-batch BN
+    statistics diverge from the running averages and tank test-time AP
+    (measured in the detector convergence study, PERFORMANCE.md). The
+    reference never needs it because it always fine-tunes from ImageNet
+    BN statistics."""
 
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
     train: bool = False
+    kind: str = "batch"
 
     @nn.compact
     def __call__(self, x):
+        if self.kind == "group":
+            return nn.GroupNorm(num_groups=min(32, x.shape[-1]),
+                                epsilon=1e-5, dtype=self.dtype)(x)
         return nn.BatchNorm(
             use_running_average=not self.train,
             momentum=0.9,
@@ -64,6 +76,7 @@ class BasicBlock(nn.Module):
     stride: int = 1
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -71,17 +84,17 @@ class BasicBlock(nn.Module):
         y = nn.Conv(self.filters, (3, 3), strides=(self.stride, self.stride),
                     padding=1, use_bias=False, dtype=self.dtype,
                     kernel_init=_conv_init)(x)
-        y = _Norm(self.dtype, self.bn_axis_name, train)(y)
+        y = _Norm(self.dtype, self.bn_axis_name, train, self.norm)(y)
         y = nn.relu(y)
         y = nn.Conv(self.filters, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype, kernel_init=_conv_init)(y)
-        y = _Norm(self.dtype, self.bn_axis_name, train)(y)
+        y = _Norm(self.dtype, self.bn_axis_name, train, self.norm)(y)
         if residual.shape != y.shape:
             residual = nn.Conv(self.filters, (1, 1),
                                strides=(self.stride, self.stride),
                                use_bias=False, dtype=self.dtype,
                                kernel_init=_conv_init)(x)
-            residual = _Norm(self.dtype, self.bn_axis_name, train)(residual)
+            residual = _Norm(self.dtype, self.bn_axis_name, train, self.norm)(residual)
         return nn.relu(y + residual)
 
 
@@ -90,28 +103,29 @@ class Bottleneck(nn.Module):
     stride: int = 1
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
         y = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype,
                     kernel_init=_conv_init)(x)
-        y = _Norm(self.dtype, self.bn_axis_name, train)(y)
+        y = _Norm(self.dtype, self.bn_axis_name, train, self.norm)(y)
         y = nn.relu(y)
         y = nn.Conv(self.filters, (3, 3), strides=(self.stride, self.stride),
                     padding=1, use_bias=False, dtype=self.dtype,
                     kernel_init=_conv_init)(y)
-        y = _Norm(self.dtype, self.bn_axis_name, train)(y)
+        y = _Norm(self.dtype, self.bn_axis_name, train, self.norm)(y)
         y = nn.relu(y)
         y = nn.Conv(self.filters * 4, (1, 1), use_bias=False,
                     dtype=self.dtype, kernel_init=_conv_init)(y)
-        y = _Norm(self.dtype, self.bn_axis_name, train)(y)
+        y = _Norm(self.dtype, self.bn_axis_name, train, self.norm)(y)
         if residual.shape != y.shape:
             residual = nn.Conv(self.filters * 4, (1, 1),
                                strides=(self.stride, self.stride),
                                use_bias=False, dtype=self.dtype,
                                kernel_init=_conv_init)(x)
-            residual = _Norm(self.dtype, self.bn_axis_name, train)(residual)
+            residual = _Norm(self.dtype, self.bn_axis_name, train, self.norm)(residual)
         return nn.relu(y + residual)
 
 
@@ -128,6 +142,7 @@ class ResNetBackbone(nn.Module):
     bn_axis_name: Optional[str] = None
     num_stages: int = 4
     stage_strides: Tuple[int, int, int, int] = (1, 2, 2, 2)
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -138,7 +153,7 @@ class ResNetBackbone(nn.Module):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
                     dtype=self.dtype, kernel_init=_conv_init,
                     name="conv1")(x)
-        x = _Norm(self.dtype, self.bn_axis_name, train)(x)
+        x = _Norm(self.dtype, self.bn_axis_name, train, self.norm)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -146,7 +161,7 @@ class ResNetBackbone(nn.Module):
             for i in range(layers[stage]):
                 stride = self.stage_strides[stage] if i == 0 else 1
                 x = block(widths[stage], stride, self.dtype,
-                          self.bn_axis_name,
+                          self.bn_axis_name, self.norm,
                           name=f"layer{stage + 1}_{i}")(x, train=train)
         return x
 
@@ -165,6 +180,7 @@ class ResNetStage4(nn.Module):
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     stride: int = 2
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -172,6 +188,6 @@ class ResNetStage4(nn.Module):
         block = BasicBlock if block_name == "basic" else Bottleneck
         for i in range(layers[3]):
             s = self.stride if i == 0 else 1
-            x = block(512, s, self.dtype, self.bn_axis_name,
+            x = block(512, s, self.dtype, self.bn_axis_name, self.norm,
                       name=f"layer4_{i}")(x, train=train)
         return x

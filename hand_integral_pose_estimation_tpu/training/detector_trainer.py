@@ -65,21 +65,25 @@ def make_detector_train_step(model: FasterRCNN, tx,
 
     def loss_fn(params, batch_stats, images, gt_boxes, gt_classes, gt_valid,
                 rng):
-        out = model.apply(
+        out, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             images, train=True, gt_boxes=gt_boxes, gt_classes=gt_classes,
-            gt_valid=gt_valid, rngs={"sampling": rng})
+            gt_valid=gt_valid, rngs={"sampling": rng},
+            mutable=["batch_stats"])
         l = out.losses
         total = (loss_weights[0] * l["rpn_cls"]
                  + loss_weights[1] * l["rpn_reg"]
                  + loss_weights[2] * l["det_cls"]
                  + loss_weights[3] * l["det_reg"])
-        return total, l
+        # batch_stats only actually changes with cfg.freeze_bn=False
+        # (from-scratch mode); frozen BN returns them untouched
+        return total, (l, mutated.get("batch_stats", batch_stats))
 
     @jax.jit
     def train_step(state: DetectorTrainState, images, gt_boxes, gt_classes,
                    gt_valid, rng):
-        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (loss, (parts, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(
             state.params, state.batch_stats, images, gt_boxes, gt_classes,
             gt_valid, rng)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
@@ -88,6 +92,6 @@ def make_detector_train_step(model: FasterRCNN, tx,
         metrics["loss"] = loss
         return DetectorTrainState(
             step=state.step + 1, params=new_params,
-            batch_stats=state.batch_stats, opt_state=new_opt), metrics
+            batch_stats=new_stats, opt_state=new_opt), metrics
 
     return train_step
