@@ -35,6 +35,20 @@ def latest_epoch(ckpt_dir: str) -> Optional[int]:
     return max(epochs) if epochs else None
 
 
+def save_pytree(path: str, tree) -> str:
+    """Checkpoint an arbitrary pytree (e.g. DetectorTrainState / PANet
+    params) at `path`."""
+    ocp.PyTreeCheckpointer().save(os.path.abspath(path), tree, force=True)
+    return path
+
+
+def load_pytree(path: str, template):
+    """Restore a pytree saved by `save_pytree`; `template` fixes the
+    structure/dtypes."""
+    return ocp.PyTreeCheckpointer().restore(os.path.abspath(path),
+                                            item=template)
+
+
 def load_checkpoint(ckpt_dir: str, state_like: TrainState,
                     epoch: Optional[int] = None
                     ) -> tuple[TrainState, int]:
