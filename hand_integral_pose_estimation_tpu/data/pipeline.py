@@ -176,16 +176,19 @@ def make_eval_batch(images: jnp.ndarray, joint_cam: jnp.ndarray,
 
     def per_sample(jc, Ki, bb_det):
         R = jnp.eye(3, dtype=Ki.dtype)
-        out, _, bb, H_total = _labels_one(jc, Ki, bb_det, None, R,
-                                          acfg, patch_hw)
-        return out, bb, H_total
+        out, _, bb, _ = _labels_one(jc, Ki, bb_det, None, R,
+                                    acfg, patch_hw)
+        return out, bb
 
     in_axes = (0, 0, None if bbox_detector is None else 0)
-    out, bb, H_total = jax.vmap(per_sample, in_axes=in_axes)(
+    out, bb = jax.vmap(per_sample, in_axes=in_axes)(
         joint_cam, K, bbox_detector)
 
+    # R == I makes the rotation homography identity, so the total map is the
+    # axis-aligned crop affine `trans` — take the specialised warp (the
+    # generic path spends ~25x the time building row-dependent weights)
     patch = warp_perspective_batch(images.astype(jnp.float32),
-                                   H_total, patch_hw)
+                                   out.trans, patch_hw, method="affine")
     patch = _normalise(patch, jnp.ones(3, patch.dtype), acfg)
 
     eye = jnp.broadcast_to(jnp.eye(3, dtype=K.dtype), (B, 3, 3))

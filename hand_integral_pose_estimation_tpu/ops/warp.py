@@ -260,6 +260,60 @@ def warp_perspective_pallas(images: jnp.ndarray, H_mats: jnp.ndarray,
     return jnp.transpose(outT, (0, 3, 1, 2))
 
 
+def warp_axis_aligned_batch(images: jnp.ndarray, H_mats: jnp.ndarray,
+                            out_hw: tuple[int, int],
+                            inverse: bool = False,
+                            precision=None) -> jnp.ndarray:
+    """Batched warp specialised for AXIS-ALIGNED affine maps
+    (H = [[sx,0,tx],[0,sy,ty],[0,0,1]]): the crop/resize transform of the
+    deterministic eval pipeline (trans_from_patch; R == I so the rotation
+    homography is identity, dataset.py:115).
+
+    With no cross terms the inverse map is src_x = a·x' + c, src_y = e·y' + f
+    — the horizontal resample weight is independent of the row and vice
+    versa, so the per-image bilinear weight tensors collapse from
+    (Hs, Ws, Wo)+(Wo, Hs, Ho) (the generic two-pass path, ~22M entries/image
+    of VPU work) to (Ws, Wo)+(Hs, Ho) (~100k), and the whole batch is two
+    plain MXU dot_generals. Off-diagonal entries of `H_mats` are IGNORED —
+    callers must guarantee axis-alignment (asserted in tests, guaranteed by
+    construction in pipeline.make_eval_batch).
+
+    Numerically identical filter to single-pass bilinear (separable resampling
+    is exact for axis-aligned maps), zero border outside the source.
+    """
+    B, Hs, Ws, C = images.shape
+    Ho, Wo = out_hw
+    on_tpu = any(dev.platform == "tpu" for dev in jax.devices())
+    if precision is None:
+        precision = (jax.lax.Precision.DEFAULT if on_tpu
+                     else jax.lax.Precision.HIGHEST)
+    Hi = H_mats if inverse else jnp.linalg.inv(H_mats)
+    Hi = Hi / Hi[:, 2:3, 2:3]
+    dt = jnp.promote_types(images.dtype, jnp.float32)
+    a = Hi[:, 0, 0][:, None, None].astype(dt)
+    c = Hi[:, 0, 2][:, None, None].astype(dt)
+    e = Hi[:, 1, 1][:, None, None].astype(dt)
+    f = Hi[:, 1, 2][:, None, None].astype(dt)
+
+    wdt = (jnp.bfloat16 if precision == jax.lax.Precision.DEFAULT
+           and dt == jnp.float32 else dt)
+    xo = jnp.arange(Wo, dtype=dt)[None, None, :]
+    xs = jnp.arange(Ws, dtype=dt)[None, :, None]
+    Wx = jnp.maximum(0.0, 1.0 - jnp.abs(xs - (a * xo + c))
+                     ).astype(wdt)                    # (B, Ws, Wo)
+    yo = jnp.arange(Ho, dtype=dt)[None, None, :]
+    ys = jnp.arange(Hs, dtype=dt)[None, :, None]
+    Wy = jnp.maximum(0.0, 1.0 - jnp.abs(ys - (e * yo + f))
+                     ).astype(wdt)                    # (B, Hs, Ho)
+
+    img = images.astype(wdt)
+    tmp = jnp.einsum("bjic,bio->bjoc", img, Wx,
+                     precision=precision, preferred_element_type=dt)
+    out = jnp.einsum("bjoc,bjy->byoc", tmp.astype(wdt), Wy,
+                     precision=precision, preferred_element_type=dt)
+    return out
+
+
 def warp_perspective_batch(images: jnp.ndarray, H_mats: jnp.ndarray,
                            out_hw: tuple[int, int],
                            inverse: bool = False,
@@ -267,8 +321,10 @@ def warp_perspective_batch(images: jnp.ndarray, H_mats: jnp.ndarray,
                            precision=None) -> jnp.ndarray:
     """(B, H, W, C) x (B, 3, 3) -> (B, Ho, Wo, C).
 
-    method: "pallas" (fastest on TPU: weights never leave VMEM),
-    "twopass" (XLA matmul formulation), "gather" (fast on CPU), or "auto"
+    method: "pallas" (fastest generic path on TPU: weights never leave
+    VMEM), "twopass" (XLA matmul formulation), "gather" (fast on CPU),
+    "affine" (axis-aligned maps ONLY — see
+    :func:`warp_axis_aligned_batch`; off-diagonals ignored), or "auto"
     (pallas on TPU for 8-aligned shapes, else twopass there; gather on CPU).
     precision: matmul precision of the twopass path. None = DEFAULT (bf16
     multiplies, fp32 accumulate — ~0.2% pixel error, 6x less MXU work) on
@@ -289,6 +345,9 @@ def warp_perspective_batch(images: jnp.ndarray, H_mats: jnp.ndarray,
     if precision is None:
         precision = (jax.lax.Precision.DEFAULT if on_tpu
                      else jax.lax.Precision.HIGHEST)
+    if method == "affine":
+        return warp_axis_aligned_batch(images, H_mats, out_hw, inverse,
+                                       precision)
     if method == "pallas":
         return warp_perspective_pallas(images, H_mats, out_hw, inverse,
                                        interpret=not on_tpu)

@@ -13,6 +13,7 @@ from hand_integral_pose_estimation_tpu import geometry as geo
 from hand_integral_pose_estimation_tpu.config import AugmentConfig
 from hand_integral_pose_estimation_tpu.data import pipeline
 from hand_integral_pose_estimation_tpu.ops.warp import (
+    warp_axis_aligned_batch,
     warp_perspective,
     warp_perspective_batch,
 )
@@ -74,6 +75,44 @@ class TestWarp:
         Hs = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (2, 3, 3))
         f = jax.jit(lambda i, h: warp_perspective_batch(i, h, (16, 16)))
         np.testing.assert_allclose(f(imgs, Hs), imgs, atol=1e-6)
+
+
+class TestAffineWarp:
+    """warp_axis_aligned_batch: the eval-path fast warp (R == I crops)."""
+
+    def _random_affine(self, rng, B):
+        Hs = np.zeros((B, 3, 3))
+        Hs[:, 0, 0] = rng.uniform(0.4, 2.5, B)
+        Hs[:, 1, 1] = rng.uniform(0.4, 2.5, B)
+        Hs[:, 0, 2] = rng.uniform(-20, 20, B)
+        Hs[:, 1, 2] = rng.uniform(-20, 20, B)
+        Hs[:, 2, 2] = 1.0
+        return jnp.asarray(Hs)
+
+    def test_matches_gather_path(self, rng):
+        imgs = jnp.asarray(rng.rand(4, 48, 40, 3))
+        Hs = self._random_affine(rng, 4)
+        fast = warp_axis_aligned_batch(imgs, Hs, (24, 32))
+        want = warp_perspective_batch(imgs, Hs, (24, 32), method="gather")
+        np.testing.assert_allclose(fast, want, rtol=1e-6, atol=1e-6)
+
+    def test_matches_twopass(self, rng):
+        imgs = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32))
+        Hs = self._random_affine(rng, 2)
+        fast = warp_perspective_batch(imgs, Hs, (32, 32), method="affine")
+        two = warp_perspective_batch(imgs, Hs, (32, 32), method="twopass")
+        np.testing.assert_allclose(fast, two, rtol=1e-5, atol=1e-5)
+
+    def test_identity_and_zero_border(self, rng):
+        img = jnp.asarray(rng.rand(1, 16, 16, 2))
+        H = jnp.asarray(np.array(
+            [[[1.0, 0, 5.0], [0, 1.0, -3.0], [0, 0, 1.0]]]))
+        out = warp_axis_aligned_batch(img, H, (16, 16))
+        # out[y, x] = img[y + 3, x - 5], zero outside
+        np.testing.assert_allclose(out[0, :13, 5:], img[0, 3:, :-5],
+                                   atol=1e-9)
+        np.testing.assert_allclose(out[0, 13:], 0.0, atol=1e-9)
+        np.testing.assert_allclose(out[0, :, :5], 0.0, atol=1e-9)
 
 
 def _synthetic_sample(rng, B=3):
