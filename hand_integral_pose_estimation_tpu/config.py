@@ -45,6 +45,12 @@ class ModelConfig:
     num_joints: int = FreiHandJoints.num_joints
     #: compute dtype for the conv stack; params stay float32
     compute_dtype: str = "bfloat16"
+    #: deconv lowering: "transpose" (lax.conv_transpose) or "phase" (dense
+    #: 2x2 conv + interleave). Identical outputs and parameters either way
+    #: (models/pose_net.py:_PhaseDeconv); measured on v5e the transpose
+    #: lowering wins (2.85 vs 3.14 ms/batch-32 head fwd) — XLA's TPU
+    #: conv_transpose is already dense, and the phase path pays relayout.
+    deconv_impl: str = "auto"
 
     @property
     def heatmap_channels(self) -> int:

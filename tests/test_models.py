@@ -106,6 +106,22 @@ class TestPoseNet:
         y = head.apply(vars_, x)
         assert y.shape == (1, 32, 32, 16)
 
+    def test_phase_deconv_matches_conv_transpose(self, rng):
+        """The TPU-fast dense phase-conv lowering is numerically identical
+        to nn.ConvTranspose from the SAME parameters (checkpoints are
+        interchangeable)."""
+        x = jnp.asarray(rng.randn(2, 5, 7, 6).astype(np.float32))
+        ht = DeconvHead(num_joints=2, depth_dim=2, channels=8,
+                        num_layers=2, deconv_impl="transpose")
+        hp = DeconvHead(num_joints=2, depth_dim=2, channels=8,
+                        num_layers=2, deconv_impl="phase")
+        vars_ = ht.init(jax.random.PRNGKey(1), x)
+        yt = ht.apply(vars_, x)
+        yp = hp.apply(vars_, x)
+        assert yt.shape == yp.shape == (2, 20, 28, 4)
+        np.testing.assert_allclose(np.asarray(yp), np.asarray(yt),
+                                   rtol=1e-6, atol=1e-6)
+
 
 class TestLosses:
     def test_joint_location_loss_masking(self, rng):
