@@ -207,7 +207,7 @@ def measure_teacher(batch=8, num_rotations=21):
     cfg = Config()
     net = get_pose_net(cfg.model)
     variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
-    images, joints, K, _ = _pose_inputs(batch)
+    _, joints, _, _ = _pose_inputs(batch)    # only the joints are reused
     images = jnp.asarray(np.random.RandomState(1).randint(
         0, 255, (batch, 480, 480, 3)).astype(np.float32))
     K = jnp.broadcast_to(
@@ -362,10 +362,11 @@ def main():
     if args.all:
         configs = [2, 3, 4, 5]
 
-    cpu_ips = _cpu_baseline(force=args.cpu_baseline)
-
     for c in configs:
         if c == 2:
+            # the CPU torch+cv2 reference baseline is only the headline's
+            # comparison point — don't pay for it on configs 3-5
+            cpu_ips = _cpu_baseline(force=args.cpu_baseline)
             ips = measure_inference(args.batch)
             print(json.dumps({
                 "metric": "freihand_e2e_inference_images_per_sec_per_chip",

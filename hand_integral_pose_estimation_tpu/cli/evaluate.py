@@ -39,6 +39,11 @@ def build_argparser():
     p.add_argument("--detector-resnet", type=int, default=101)
     p.add_argument("--detector-scale", type=int, default=600)
     p.add_argument("--detector-proposals", type=int, default=300)
+    p.add_argument("--detector-norm", choices=("batch", "group"),
+                   default="batch",
+                   help="must match the checkpoint's architecture: 'batch' "
+                        "(reference parity) or 'group' (cli/train_detector's "
+                        "from-scratch default)")
     # pose-net sizing knobs (defaults = reference R50@224, 56^3 heatmap)
     p.add_argument("--pose-resnet", type=int, default=50)
     p.add_argument("--pose-input", type=int, default=224)
@@ -78,6 +83,8 @@ def main(argv=None):
     cfg = cfg.replace(
         detector=dataclasses.replace(
             cfg.detector, resnet_type=args.detector_resnet,
+            norm=args.detector_norm,
+            freeze_bn=args.detector_norm == "batch",
             test_scale=args.detector_scale,
             test_max_size=(cfg.detector.test_max_size
                            if args.detector_scale == 600
@@ -116,26 +123,15 @@ def main(argv=None):
         use_detector = False
 
     if use_detector:
-        from hand_integral_pose_estimation_tpu.detect import FasterRCNN
+        from hand_integral_pose_estimation_tpu.detect.load import (
+            build_detector,
+        )
         from hand_integral_pose_estimation_tpu.inference import (
             TwoStagePipeline,
         )
 
-        detector = FasterRCNN(cfg=cfg.detector)
-        dscale = cfg.detector.test_scale
-        det_vars = detector.init(
-            {"params": jax.random.PRNGKey(0),
-             "sampling": jax.random.PRNGKey(1)},
-            jnp.zeros((1, dscale, dscale, 3)))
-        if args.detector_ckpt and os.path.exists(args.detector_ckpt):
-            import orbax.checkpoint as ocp
-            params = ocp.PyTreeCheckpointer().restore(
-                os.path.abspath(args.detector_ckpt))
-            det_vars = {"params": params,
-                        "batch_stats": det_vars.get("batch_stats", {})}
-            print(f"loaded detector params from {args.detector_ckpt}")
-        else:
-            print("no detector checkpoint — using fresh detector weights")
+        detector, det_vars = build_detector(cfg.detector,
+                                            args.detector_ckpt)
 
         pose_vars = {"params": state.params,
                      "batch_stats": state.batch_stats}

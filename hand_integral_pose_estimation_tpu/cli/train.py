@@ -77,26 +77,15 @@ def main(argv=None):
         # cache when valid, otherwise run the detector once and cache
         import os
 
-        import jax
-        import jax.numpy as jnp
-
         from hand_integral_pose_estimation_tpu.data import detector_db
-        from hand_integral_pose_estimation_tpu.detect import FasterRCNN
+        from hand_integral_pose_estimation_tpu.detect.load import (
+            build_detector,
+        )
 
         detector, det_vars = None, None
         if not (args.bbox_db and os.path.exists(args.bbox_db)):
-            detector = FasterRCNN(cfg=cfg.detector)
-            dscale = cfg.detector.test_scale
-            det_vars = detector.init(
-                {"params": jax.random.PRNGKey(0),
-                 "sampling": jax.random.PRNGKey(1)},
-                jnp.zeros((1, dscale, dscale, 3)))
-            if args.detector_ckpt and os.path.exists(args.detector_ckpt):
-                import orbax.checkpoint as ocp
-                params = ocp.PyTreeCheckpointer().restore(
-                    os.path.abspath(args.detector_ckpt))
-                det_vars = {"params": params,
-                            "batch_stats": det_vars.get("batch_stats", {})}
+            detector, det_vars = build_detector(cfg.detector,
+                                                args.detector_ckpt)
         detector_db.ensure_detector_bboxes(
             dataset, detector, det_vars, cache_path=args.bbox_db,
             det_cfg=cfg.detector, pad_factor=cfg.augment.pad_factor)

@@ -150,6 +150,9 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--data-dir", default=None,
                    help="FreiHAND root; omit for --synthetic")
+    p.add_argument("--training-size", type=int, default=None,
+                   help="override cfg.train.training_size (partial "
+                        "downloads / mini fixtures)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--n", type=int, default=256,
                    help="synthetic dataset size")
@@ -177,10 +180,21 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.data_dir:
+        import dataclasses
+
+        from hand_integral_pose_estimation_tpu.config import Config
         from hand_integral_pose_estimation_tpu.data.freihand import (
             FreiHandDataset,
         )
-        dataset = FreiHandDataset(args.data_dir, split="training")
+        dcfg = Config()
+        if args.training_size:
+            dcfg = dcfg.replace(train=dataclasses.replace(
+                dcfg.train, training_size=args.training_size,
+                labelled_data_range=min(
+                    args.training_size,
+                    dcfg.train.labelled_data_range)))
+        dataset = FreiHandDataset(args.data_dir, data_split="training",
+                                  cfg=dcfg)
     else:
         from hand_integral_pose_estimation_tpu.data.freihand import (
             SyntheticFreiHand,

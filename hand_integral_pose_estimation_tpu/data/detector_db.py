@@ -59,6 +59,10 @@ def _record_names(dataset) -> np.ndarray:
     if hasattr(dataset, "records"):
         return np.asarray([os.path.basename(r.img_path)
                            for r in dataset.records])
+    if hasattr(dataset, "record_names"):
+        # content-derived names (SyntheticFreiHand) — keeps the integrity
+        # check meaningful for record-less datasets
+        return np.asarray(dataset.record_names())
     return np.asarray([str(i) for i in range(len(dataset))])
 
 

@@ -240,6 +240,15 @@ class SyntheticFreiHand:
     def __len__(self):
         return self.n
 
+    def record_names(self) -> np.ndarray:
+        """Content-derived per-sample identities for the bbox-db integrity
+        check (data/detector_db.py): a different seed/size/rendering yields
+        different names, so a cache built for another synthetic dataset is
+        rejected instead of silently attached."""
+        import zlib
+        return np.asarray([f"synthetic-{zlib.crc32(im.tobytes()):08x}-{i}"
+                           for i, im in enumerate(self.images)])
+
     def sample_indices(self, rng: np.random.RandomState, batch_size: int,
                        labelled_prob: Optional[float] = None) -> np.ndarray:
         return rng.randint(0, self.n, batch_size)

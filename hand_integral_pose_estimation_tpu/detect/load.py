@@ -1,0 +1,51 @@
+"""Build + restore the Faster R-CNN hand detector.
+
+The single place that knows the checkpoint layout written by
+cli/train_detector.py (training/checkpoint.py:save_pytree of
+{"params", "batch_stats"}) — the runner-side analogue of the reference's
+`load_faster_rcnn_detector` (common/hand_detector.py:111-158), which loads
+externally-trained `faster_rcnn_*.pth` files.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from hand_integral_pose_estimation_tpu.config import DetectorConfig
+from hand_integral_pose_estimation_tpu.detect.faster_rcnn import FasterRCNN
+
+
+def build_detector(det_cfg: DetectorConfig,
+                   ckpt_path: Optional[str] = None,
+                   seed: int = 0,
+                   log=print) -> tuple[FasterRCNN, dict]:
+    """FasterRCNN module + variables, optionally restored from an orbax
+    checkpoint. Returns (model, {"params": ..., "batch_stats": ...}).
+
+    Restoring uses the freshly-initialised tree as the template, so both
+    params and batch_stats come from the checkpoint (a detector trained with
+    live BatchNorm needs its running statistics at eval time).
+    """
+    model = FasterRCNN(cfg=det_cfg)
+    s = det_cfg.test_scale
+    det_vars = model.init(
+        {"params": jax.random.PRNGKey(seed),
+         "sampling": jax.random.PRNGKey(seed + 1)},
+        jnp.zeros((1, s, s, 3)))
+    det_vars = {"params": det_vars["params"],
+                "batch_stats": det_vars.get("batch_stats", {})}
+    if ckpt_path:
+        if os.path.exists(ckpt_path):
+            from hand_integral_pose_estimation_tpu.training.checkpoint import (
+                load_pytree,
+            )
+            det_vars = load_pytree(ckpt_path, det_vars)
+            log(f"loaded detector checkpoint from {ckpt_path}")
+        else:
+            log(f"detector checkpoint {ckpt_path} not found — "
+                "using fresh weights")
+    return model, det_vars

@@ -81,21 +81,25 @@ def train_breakdown(batch):
             return imgs + 1e-9 * jnp.sum(b.image)
         return jax.lax.fori_loop(0, n, body, images)
 
+    # chain each iteration through the batch image (CLAUDE.md: the body must
+    # depend on the carry or XLA hoists the loop-invariant forward/backward
+    # out of the fori_loop entirely) and tap with FULL reductions
     @functools.partial(jax.jit, static_argnums=(1,))
     def fwd_loop(images, n):
-        def body(i, imgs):
-            loss = fwd_loss(state.params, state.batch_stats, batch0)
-            return imgs + 1e-9 * loss
-        return jax.lax.fori_loop(0, n, body, images)
+        def body(i, s):
+            b = batch0._replace(image=batch0.image + s)
+            loss = fwd_loss(state.params, state.batch_stats, b)
+            return 1e-9 * loss
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     @functools.partial(jax.jit, static_argnums=(1,))
     def grad_loop(images, n):
-        def body(i, carry):
-            imgs = carry
-            g = jax.grad(fwd_loss)(state.params, state.batch_stats, batch0)
-            leaf = jax.tree_util.tree_leaves(g)[0]
-            return imgs + 1e-9 * jnp.sum(leaf)
-        return jax.lax.fori_loop(0, n, body, images)
+        def body(i, s):
+            b = batch0._replace(image=batch0.image + s)
+            g = jax.grad(fwd_loss)(state.params, state.batch_stats, b)
+            tot = sum(jnp.sum(le) for le in jax.tree_util.tree_leaves(g))
+            return 1e-9 * tot
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     @functools.partial(jax.jit, static_argnums=(2,))
     def step_loop(state, images, n):
@@ -109,10 +113,8 @@ def train_breakdown(batch):
     for name, run in [
         ("train preprocess", lambda n: np.asarray(
             pre_loop(images, n)[0, 0, 0])),
-        ("fwd+loss only", lambda n: np.asarray(
-            fwd_loop(images, n)[0, 0, 0])),
-        ("fwd+bwd (grad)", lambda n: np.asarray(
-            grad_loop(images, n)[0, 0, 0])),
+        ("fwd+loss only", lambda n: np.asarray(fwd_loop(images, n))),
+        ("fwd+bwd (grad)", lambda n: np.asarray(grad_loop(images, n))),
         ("full step (pre+grad+adam)", lambda n: np.asarray(
             step_loop(state, images, n)[1][0, 0, 0])),
     ]:

@@ -65,3 +65,48 @@ def test_train_detector_cli_smoke(tmp_path, capsys):
         "--max-size", "112", "--rpn-pre-nms", "128", "--rpn-post-nms", "32",
         "--roi-batch", "16", "--model-dir", str(tmp_path)])
     assert (tmp_path / "detector_final").exists()
+
+
+def test_build_detector_restores_train_detector_checkpoint(tmp_path):
+    """build_detector must restore exactly what cli/train_detector.py saves
+    ({"params", "batch_stats"} via save_pytree) — params AND batch_stats
+    (regression: the old inline restore double-nested the tree and dropped
+    the trained BN statistics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hand_integral_pose_estimation_tpu.config import DetectorConfig
+    from hand_integral_pose_estimation_tpu.detect.load import build_detector
+
+    cfg = DetectorConfig(resnet_type=18, norm="group", test_scale=64,
+                         test_max_size=64, rpn_pre_nms_top_n_test=64,
+                         rpn_post_nms_top_n_test=16, max_detections=8)
+    model, det_vars = build_detector(cfg, None, log=lambda *a: None)
+    # perturb as if trained, save in the train_detector layout
+    trained = jax.tree_util.tree_map(lambda x: x + 1.0, det_vars)
+    save_pytree(str(tmp_path / "detector_final"), trained)
+    _, restored = build_detector(cfg, str(tmp_path / "detector_final"),
+                                 log=lambda *a: None)
+    a = jax.tree_util.tree_leaves(restored)
+    b = jax.tree_util.tree_leaves(trained)
+    assert len(a) == len(b) > 0
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+FIXTURE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "fixtures", "freihand_mini")
+
+
+@run_slow
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(FIXTURE, "training_K.json")),
+    reason="freihand_mini fixture absent")
+def test_train_detector_cli_real_data_path(tmp_path):
+    """The --data-dir branch constructs FreiHandDataset correctly and runs
+    (regression: the dataset kwarg is `data_split`, not `split`)."""
+    train_detector_main([
+        "--data-dir", FIXTURE, "--training-size", "6", "--steps", "1",
+        "--batch", "2", "--eval-every", "1", "--resnet", "18",
+        "--scale", "112", "--max-size", "112", "--rpn-pre-nms", "128",
+        "--rpn-post-nms", "32", "--roi-batch", "16"])
