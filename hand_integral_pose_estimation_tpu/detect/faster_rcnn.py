@@ -41,7 +41,9 @@ from hand_integral_pose_estimation_tpu.models.resnet import (
     ResNetBackbone,
     ResNetStage4,
 )
-from hand_integral_pose_estimation_tpu.ops.roi_align import roi_align
+from hand_integral_pose_estimation_tpu.ops.roi_align import (
+    roi_align_batched,
+)
 
 
 class DetectionOutputs(NamedTuple):
@@ -119,9 +121,13 @@ class FasterRCNN(nn.Module):
               gt_valid)
             rois, roi_valid = ptargets.rois, ptargets.valid
 
-        pooled = jax.vmap(
-            lambda f, r: roi_align(f, r, c.pooling_size, c.spatial_scale,
-                                   c.sampling_ratio))(feats, rois)
+        # inference: VMEM-resident Pallas kernel (auto, TPU only); training
+        # keeps the XLA formulation — its backward comes from autodiff,
+        # which pallas_call does not provide
+        pooled = roi_align_batched(
+            feats.astype(jnp.float32), rois, c.pooling_size,
+            c.spatial_scale, c.sampling_ratio,
+            impl="xla" if train else "auto")
         R = rois.shape[1]
         pooled = pooled.reshape(B * R, c.pooling_size, c.pooling_size, -1)
 

@@ -14,8 +14,12 @@ are the slow path on TPU).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _linear_weights(centers: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -84,6 +88,144 @@ def roi_align(features: jnp.ndarray, rois: jnp.ndarray,
         return samp.mean(axis=(1, 3))
 
     return jax.vmap(one)(rois)
+
+
+def _ra_kernel(rois_ref, f_hbm, o_ref, f_vmem, dma_sem, *, pooled, sr,
+               Hf, Wf, HWp, scale, G):
+    """Grouped combined-weight ROIAlign: ONE full-width MXU matmul per G
+    rois, everything resident in VMEM.
+
+    For each output bin (p, q) the pooled value is a linear functional of
+    the feature map: out[p,q,c] = sum_{h,w} wy(p,h)·wx(q,w)·F[h,w,c], where
+    wy/wx are the sr-sample-per-bin MEANS of the CUDA-contract bilinear
+    weights (averaging folds into the weights by linearity). Stacking G rois
+    x pooled^2 bins as rows of a combined weight matrix
+    W2[g·P²+p·P+q, h·Wf+w] built ELEMENTWISE from 2D iotas (no reshapes —
+    Mosaic relayouts are the enemy) gives a single
+    (G·P², Hf·Wf) @ (Hf·Wf, C) contraction with M in the hundreds — full
+    128x128 MXU utilisation. Design history measured on v5e (batch 4, 300
+    rois, 38x38x1024, vs 10.7 ms for the XLA vmap path): per-roi M=8
+    two-pass matmuls 11.8 ms (6 % MXU rows); this formulation ~1 ms.
+
+    The flattened feature map stays in HBM (ANY space) and is DMA'd into
+    VMEM scratch once per image at t == 0 — a block-spec input would be
+    re-fetched every grid step.
+    """
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    P2 = pooled * pooled
+    M = G * P2
+    Mpad = -(-M // 8) * 8
+
+    @pl.when(t == 0)
+    def _load_features():
+        cp = pltpu.make_async_copy(f_hbm.at[b], f_vmem, dma_sem)
+        cp.start()
+        cp.wait()
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (Mpad, HWp), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Mpad, HWp), 1)
+    g = row // P2
+    pq = row % P2
+    p = (pq // pooled).astype(jnp.float32)
+    q = (pq % pooled).astype(jnp.float32)
+    h = (lane // Wf).astype(jnp.float32)
+    w = (lane % Wf).astype(jnp.float32)
+
+    def coord(k):
+        # roi coordinate k for each row's group, gathered from SMEM scalars
+        v = jnp.zeros((Mpad, HWp), jnp.float32)
+        for gi in range(G):
+            s = rois_ref[0, t * G + gi, k] * scale
+            v = jnp.where(g == gi, s, v)
+        return v
+
+    x1, y1, x2, y2 = coord(0), coord(1), coord(2), coord(3)
+
+    def bin_w(lo, hi, bin_idx, grid_pos, size):
+        # mean over the sr sample points of the bin's bilinear weights;
+        # clipped centres are <= size-1, so tile-padding columns (grid_pos
+        # derived from lanes >= Hf*Wf) weight to zero against zero-padded
+        # feature rows anyway
+        length = jnp.maximum(hi - lo, 1.0)
+        bsz = length / pooled
+        acc = jnp.zeros_like(grid_pos)
+        for k in range(sr):
+            c = lo + bin_idx * bsz + (k + 0.5) * (bsz / sr)
+            inside = (c >= -1.0) & (c <= size)
+            cc = jnp.clip(c, 0.0, size - 1.0)
+            acc += jnp.maximum(0.0, 1.0 - jnp.abs(cc - grid_pos)) * inside
+        return acc / sr
+
+    W2 = (bin_w(y1, y2, p, h, Hf) * bin_w(x1, x2, q, w, Wf)
+          * (row < M) * (lane < Hf * Wf))
+
+    res = jnp.dot(W2, f_vmem[:],
+                  preferred_element_type=jnp.float32)       # (Mpad, C)
+    for gi in range(G):
+        for pi in range(pooled):
+            start = gi * P2 + pi * pooled
+            o_ref[0, gi, pi] = res[start:start + pooled]
+
+
+def roi_align_batched(features: jnp.ndarray, rois: jnp.ndarray,
+                      pooled_size: int = 7,
+                      spatial_scale: float = 1.0 / 16.0,
+                      sampling_ratio: int = 2,
+                      impl: str = "auto",
+                      interpret: bool = False) -> jnp.ndarray:
+    """(B, H, W, C) x (B, R, 4) -> (B, R, P, P, C).
+
+    impl="pallas": the VMEM-resident grouped kernel above. The XLA vmap
+    path materialises a (R, S, W, C) row-resampled intermediate per image
+    (~650 MB at R101-C4 scale) and is HBM-bound — measured 10.7 ms vs ~1 ms
+    for the kernel on v5e (batch 4, 300 rois, 38x38x1024). "auto" = pallas
+    on TPU when C is lane-aligned and the feature map fits VMEM, else the
+    vmap path. MXU operands round to bf16 (DEFAULT precision — same as the
+    XLA path's own TPU einsum lowering; ~4e-3 relative).
+    """
+    B, H, W, C = features.shape
+    R = rois.shape[1]
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    HW = H * W
+    HWp = -(-HW // 8) * 8        # second-minor dim must be 8-aligned for DMA
+    fits = C % 128 == 0 and 4 * HWp * C < 8 * 1024 * 1024
+    if impl == "auto":
+        impl = "pallas" if (on_tpu or interpret) and fits else "xla"
+    if impl != "pallas":
+        return jax.vmap(
+            lambda f, r: roi_align(f, r, pooled_size, spatial_scale,
+                                   sampling_ratio))(features, rois)
+
+    G = 6                                   # rois per grid step (M = G*P^2)
+    Rpad = -(-R // G) * G
+    rois_p = rois.astype(jnp.float32)
+    if Rpad != R:
+        rois_p = jnp.pad(rois_p, ((0, 0), (0, Rpad - R), (0, 0)))
+    f2 = features.astype(jnp.float32).reshape(B, HW, C)
+    if HWp != HW:
+        f2 = jnp.pad(f2, ((0, 0), (0, HWp - HW), (0, 0)))
+    kernel = functools.partial(
+        _ra_kernel, pooled=pooled_size, sr=sampling_ratio, Hf=H, Wf=W,
+        HWp=HWp, scale=spatial_scale, G=G)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, Rpad // G),
+        in_specs=[
+            pl.BlockSpec((1, Rpad, 4), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # whole array, in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (1, G, pooled_size, pooled_size, C),
+            lambda b, t: (b, t, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, Rpad, pooled_size, pooled_size, C), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((HWp, C), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+        interpret=interpret,
+    )(rois_p, f2)
+    return out[:, :R]
 
 
 def roi_pool(features: jnp.ndarray, rois: jnp.ndarray,

@@ -155,6 +155,24 @@ class TestRoiAlign:
         g = jax.grad(lambda f: roi_align(f, rois, 4, 1 / 16.0, 2).sum())(feat)
         assert float(jnp.abs(g).sum()) > 0
 
+    def test_pallas_grouped_kernel_matches_xla(self, rng):
+        """The VMEM-resident combined-weight kernel (interpret mode here)
+        equals the XLA vmap formulation — including tile-padding (H*W not
+        8-aligned) and an roi count not divisible by the group size."""
+        from hand_integral_pose_estimation_tpu.ops.roi_align import (
+            roi_align_batched,
+        )
+        B, H, W, C, R = 2, 21, 19, 256, 13
+        feats = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+        rois = rng.uniform(0, 250, (B, R, 4)).astype(np.float32)
+        rois = np.concatenate([rois[..., :2], rois[..., :2] + 40], axis=-1)
+        rois = jnp.asarray(rois)
+        want = roi_align_batched(feats, rois, 7, 1 / 16.0, 2, impl="xla")
+        got = roi_align_batched(feats, rois, 7, 1 / 16.0, 2,
+                                impl="pallas", interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
 
 class TestBoxTransforms:
     def test_encode_decode_roundtrip(self, rng):
