@@ -23,25 +23,17 @@ def build_argparser():
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
-    import os
 
     import jax.numpy as jnp
     import numpy as np
 
     from hand_integral_pose_estimation_tpu.models.panet import (
         PANet,
-        convert_torch_state_dict,
+        load_panet_params,
         panet_reconstruction_fn,
     )
 
-    if args.ckpt.endswith(".pth"):
-        import torch
-        params = convert_torch_state_dict(
-            torch.load(args.ckpt, map_location="cpu", weights_only=True))
-    else:
-        import orbax.checkpoint as ocp
-        params = ocp.PyTreeCheckpointer().restore(
-            os.path.abspath(args.ckpt))
+    params = load_panet_params(args.ckpt)
 
     pts = np.load(args.pts_npy).astype(np.float32)
     pts = pts - pts.mean(1, keepdims=True)   # train.py:121 centring

@@ -42,6 +42,25 @@ def build_argparser():
     p.add_argument("--test-sweep", action="store_true",
                    help="epoch-end average-loss sweep over the test split "
                         "(main/train.py:140-163)")
+    # semi-supervised recipe (the reference Trainer always loads these,
+    # base.py:111-128; here they are opt-in flags)
+    p.add_argument("--filtered-db", default=None,
+                   help="npz pseudo-label db from cli/generate_teacher_labels"
+                        " — trains in use_filtered_data mode "
+                        "(FreiHand.load_filtered_data, FreiHand.py:343-371)")
+    p.add_argument("--teacher-ckpt", default=None,
+                   help="model_dir of a pose snapshot to use as the frozen "
+                        "live teacher (load_regressor_teacher, "
+                        "base.py:117-128)")
+    p.add_argument("--teacher-epoch", type=int, default=None)
+    p.add_argument("--panet-ckpt", default=None,
+                   help="PANet weights (.pth torch or orbax dir) for the "
+                        "NRSfM prior term (load_nrsfm_tester, base.py:111)")
+    p.add_argument("--lam", type=float, default=None,
+                   help="PANet loss weight (cfg._lambda, config.py:50)")
+    # pose sizing (smoke runs; defaults = reference R50 @224)
+    p.add_argument("--pose-resnet", type=int, default=None)
+    p.add_argument("--pose-input", type=int, default=None)
     return p
 
 
@@ -62,6 +81,15 @@ def main(argv=None):
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train,
                                            batch_size=args.batch_size))
+    if args.lam is not None:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, lam=args.lam))
+    if args.pose_resnet or args.pose_input:
+        hw = args.pose_input or cfg.model.input_shape[0]
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, resnet_type=args.pose_resnet or cfg.model.resnet_type,
+            input_shape=(hw, hw), output_shape=(hw // 4, hw // 4),
+            depth_dim=hw // 4))
 
     if args.synthetic or not args.data_dir:
         dataset = SyntheticFreiHand(n=args.synthetic_size)
@@ -90,9 +118,45 @@ def main(argv=None):
             dataset, detector, det_vars, cache_path=args.bbox_db,
             det_cfg=cfg.detector, pad_factor=cfg.augment.pad_factor)
 
+    if args.filtered_db:
+        # use_filtered_data mode: pseudo-labels ride the batch, no live
+        # teacher forward needed (dataset.py:117-175)
+        if not hasattr(dataset, "records"):
+            raise SystemExit("--filtered-db needs a record-backed dataset "
+                             "(--data-dir), not --synthetic")
+        from hand_integral_pose_estimation_tpu.data.freihand import (
+            apply_filtered_labels,
+        )
+        apply_filtered_labels(dataset, args.filtered_db)
+        print(f"filtered db: {len(dataset)} kept samples "
+              f"({dataset.num_labelled} labelled)")
+
+    teacher_apply = None
+    if args.teacher_ckpt:
+        from hand_integral_pose_estimation_tpu.training.teacher import (
+            make_frozen_teacher,
+        )
+        teacher_apply = make_frozen_teacher(cfg, args.teacher_ckpt,
+                                            args.teacher_epoch)
+        print(f"frozen teacher loaded from {args.teacher_ckpt}")
+
+    panet_apply = None
+    if args.panet_ckpt:
+        from hand_integral_pose_estimation_tpu.models.panet import (
+            PANet,
+            load_panet_params,
+            panet_reconstruction_fn,
+        )
+        panet_params = load_panet_params(args.panet_ckpt)
+        panet_apply = panet_reconstruction_fn(
+            PANet(pts_num=cfg.model.num_joints), panet_params)
+        print(f"PANet prior loaded from {args.panet_ckpt} "
+              f"(lambda = {cfg.train.lam})")
+
     trainer = Trainer(cfg=cfg, dataset=dataset, model_dir=args.model_dir,
                       log_dir=args.log_dir,
                       continue_train=args.continue_train, seed=args.seed,
+                      teacher_apply=teacher_apply, panet_apply=panet_apply,
                       test_dataset=test_dataset)
     trainer.fit(end_epoch=args.epochs,
                 steps_per_epoch=args.steps_per_epoch)

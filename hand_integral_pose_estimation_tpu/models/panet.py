@@ -216,3 +216,17 @@ def convert_torch_state_dict(state_dict) -> dict:
         "camera_estimator.linear_comb_layer.weight").reshape(-1)
     params["code_w"] = arr("code_estimator.fc_layer.weight")
     return params
+
+
+def load_panet_params(ckpt_path: str) -> dict:
+    """PANet params from either a shipped torch checkpoint (*.pth, via
+    convert_torch_state_dict) or an orbax dir written by cli/train_panet.py
+    — the single loader behind `load_nrsfm_tester` (base.py:111-115)."""
+    import os
+
+    if ckpt_path.endswith(".pth"):
+        import torch
+        return convert_torch_state_dict(
+            torch.load(ckpt_path, map_location="cpu", weights_only=True))
+    import orbax.checkpoint as ocp
+    return ocp.PyTreeCheckpointer().restore(os.path.abspath(ckpt_path))

@@ -212,7 +212,8 @@ def _warp_kernel(img_ref, coef_ref, out_ref, tmp_ref, *, Hs, Ws, Ho, Wo,
 def warp_perspective_pallas(images: jnp.ndarray, H_mats: jnp.ndarray,
                             out_hw: tuple[int, int],
                             inverse: bool = False,
-                            interpret: bool = False) -> jnp.ndarray:
+                            interpret: bool = False,
+                            chunk: int = 32) -> jnp.ndarray:
     """Batched two-pass warp as ONE Pallas kernel: the (H, Wo, Ws) bilinear
     weight tensors are built and consumed inside VMEM (the XLA twopass path
     streams ~45 MB of weights per image through HBM), and the per-image
@@ -220,12 +221,15 @@ def warp_perspective_pallas(images: jnp.ndarray, H_mats: jnp.ndarray,
 
     Same math and filter as :func:`warp_perspective_twopass` (with bf16 MXU
     rounding of operands, like that path's DEFAULT precision on TPU).
+
+    `chunk` is the row-block size of the in-VMEM weight tensors — smaller
+    chunks let large sources (e.g. the 480² teacher-sweep images) stay on
+    the kernel path instead of falling back to the HBM-streaming twopass.
     """
     B, Hs, Ws, C = images.shape
     Ho, Wo = out_hw
     for dim in (Hs, Ws, Ho, Wo):
         assert dim % 8 == 0, (Hs, Ws, Ho, Wo)
-    chunk = 32
     while Hs % chunk or Wo % chunk:
         chunk //= 2
     assert chunk >= 8, (Hs, Wo)
@@ -335,10 +339,16 @@ def warp_perspective_batch(images: jnp.ndarray, H_mats: jnp.ndarray,
     Ho, Wo = out_hw
     aligned = all(d % 8 == 0 for d in (Hs, Ws, Ho, Wo))
     # the kernel holds a (chunk, Ws, Wo) weight block, the (Wo, C, Hs)
-    # intermediate and the in/out blocks in VMEM simultaneously
-    vmem_est = 4 * (32 * Ws * Wo + Wo * C * Hs
-                    + 2 * Hs * C * Ws + 2 * Wo * C * Ho)
-    fits = vmem_est < 11 * 1024 * 1024
+    # intermediate and the in/out blocks in VMEM simultaneously; shrink the
+    # weight chunk until it fits (480² teacher-sweep sources need chunk 8)
+    chunk = 32
+    while chunk >= 8:
+        vmem_est = 4 * (chunk * max(Ws, Hs) * max(Wo, Ho) + Wo * C * Hs
+                        + 2 * Hs * C * Ws + 2 * Wo * C * Ho)
+        if vmem_est < 12 * 1024 * 1024:
+            break
+        chunk //= 2
+    fits = chunk >= 8
     if method == "auto":
         method = ("pallas" if on_tpu and aligned and fits
                   else "twopass" if on_tpu else "gather")
@@ -350,7 +360,8 @@ def warp_perspective_batch(images: jnp.ndarray, H_mats: jnp.ndarray,
                                        precision)
     if method == "pallas":
         return warp_perspective_pallas(images, H_mats, out_hw, inverse,
-                                       interpret=not on_tpu)
+                                       interpret=not on_tpu,
+                                       chunk=chunk if fits else 32)
     if method == "gather":
         return jax.vmap(
             lambda im, hm: warp_perspective(im, hm, out_hw, inverse)

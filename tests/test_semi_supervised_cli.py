@@ -1,0 +1,65 @@
+"""The full semi-supervised recipe through the CLI layer: tiny teacher
+snapshot -> tiny PANet -> student trained with the frozen teacher AND the
+NRSfM prior in CombinedLoss (the reference's main workflow,
+base.py:111-128 + main/train.py:83-99). Slow-gated: three train-step
+compiles."""
+
+import os
+
+import pytest
+
+from hand_integral_pose_estimation_tpu.models.panet import load_panet_params
+
+run_slow = pytest.mark.skipif(
+    os.environ.get("HIPE_RUN_SLOW", "") != "1",
+    reason="set HIPE_RUN_SLOW=1 to run the semi-supervised CLI pipeline")
+
+
+def test_load_panet_params_orbax_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    from hand_integral_pose_estimation_tpu.models.panet import PANet
+
+    model = PANet(pts_num=21)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((2, 21, 3)))["params"]
+    path = str(tmp_path / "panet_ckpt")
+    ocp.PyTreeCheckpointer().save(os.path.abspath(path), params)
+    back = load_panet_params(path)
+    a = jax.tree_util.tree_leaves(params)
+    b = jax.tree_util.tree_leaves(back)
+    assert len(a) == len(b) > 0
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@run_slow
+def test_semi_supervised_pipeline(tmp_path):
+    from hand_integral_pose_estimation_tpu.cli.train import (
+        main as train_main,
+    )
+    from hand_integral_pose_estimation_tpu.cli.train_panet import (
+        main as panet_main,
+    )
+
+    teacher_dir = str(tmp_path / "teacher")
+    panet_dir = str(tmp_path / "panet")
+    student_dir = str(tmp_path / "student")
+    small = ["--synthetic", "--synthetic-size", "16", "--epochs", "1",
+             "--batch-size", "4", "--pose-resnet", "18",
+             "--pose-input", "64", "--log-dir", str(tmp_path / "logs")]
+
+    train_main(small + ["--steps-per-epoch", "2",
+                        "--model-dir", teacher_dir])
+    panet_main(["--synthetic", "--steps", "10", "--batch-size", "16",
+                "--out", panet_dir])
+    train_main(small + ["--steps-per-epoch", "2",
+                        "--model-dir", student_dir,
+                        "--teacher-ckpt", teacher_dir,
+                        "--panet-ckpt", os.path.join(panet_dir,
+                                                     "model_best"),
+                        "--lam", "0.1"])
+    assert os.path.exists(os.path.join(student_dir, "snapshot_0"))

@@ -287,6 +287,21 @@ class TestPallasWarp:
         out = warp_perspective_pallas(imgs, H, (32, 32), interpret=True)
         np.testing.assert_allclose(out, imgs, atol=1e-5)
 
+    def test_small_chunk_matches_default(self, rng):
+        """chunk=8 (used for large teacher-sweep sources) is numerically
+        identical to the default chunking."""
+        from hand_integral_pose_estimation_tpu.ops.warp import (
+            warp_perspective_pallas)
+        imgs = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32) * 255)
+        H = np.eye(3)
+        H[:2, :2] = [[0.9, 0.15], [-0.1, 0.85]]
+        H[:2, 2] = [3.0, -2.0]
+        Hs = jnp.asarray(H[None], jnp.float32)
+        a = warp_perspective_pallas(imgs, Hs, (32, 32), interpret=True)
+        b = warp_perspective_pallas(imgs, Hs, (32, 32), interpret=True,
+                                    chunk=8)
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
 
 class TestCv2Parity:
     """Direct comparison against cv2.warpPerspective — the reference's actual
