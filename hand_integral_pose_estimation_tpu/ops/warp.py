@@ -339,16 +339,14 @@ def warp_perspective_batch(images: jnp.ndarray, H_mats: jnp.ndarray,
     Ho, Wo = out_hw
     aligned = all(d % 8 == 0 for d in (Hs, Ws, Ho, Wo))
     # the kernel holds a (chunk, Ws, Wo) weight block, the (Wo, C, Hs)
-    # intermediate and the in/out blocks in VMEM simultaneously; shrink the
-    # weight chunk until it fits (480² teacher-sweep sources need chunk 8)
-    chunk = 32
-    while chunk >= 8:
-        vmem_est = 4 * (chunk * max(Ws, Hs) * max(Wo, Ho) + Wo * C * Hs
-                        + 2 * Hs * C * Ws + 2 * Wo * C * Ho)
-        if vmem_est < 12 * 1024 * 1024:
-            break
-        chunk //= 2
-    fits = chunk >= 8
+    # intermediate and the in/out blocks in VMEM simultaneously. Shrinking
+    # the chunk to fit bigger sources (480² teacher sweeps) was tried and
+    # REVERTED: Hs/chunk = 60 unrolled weight-block iterations defeat
+    # Mosaic's buffer reuse (59.8 MB scoped-vmem OOM at compile) — large
+    # sources stay on the streaming twopass path.
+    vmem_est = 4 * (32 * Ws * Wo + Wo * C * Hs
+                    + 2 * Hs * C * Ws + 2 * Wo * C * Ho)
+    fits = vmem_est < 11 * 1024 * 1024
     if method == "auto":
         method = ("pallas" if on_tpu and aligned and fits
                   else "twopass" if on_tpu else "gather")
@@ -360,8 +358,7 @@ def warp_perspective_batch(images: jnp.ndarray, H_mats: jnp.ndarray,
                                        precision)
     if method == "pallas":
         return warp_perspective_pallas(images, H_mats, out_hw, inverse,
-                                       interpret=not on_tpu,
-                                       chunk=chunk if fits else 32)
+                                       interpret=not on_tpu)
     if method == "gather":
         return jax.vmap(
             lambda im, hm: warp_perspective(im, hm, out_hw, inverse)
