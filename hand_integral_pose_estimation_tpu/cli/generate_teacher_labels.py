@@ -24,6 +24,9 @@ def build_argparser():
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--variance-threshold", type=float, default=1e-4)
     p.add_argument("--synthetic-size", type=int, default=32)
+    p.add_argument("--training-size", type=int, default=None,
+                   help="override cfg.train.training_size (partial "
+                        "downloads / mini fixtures)")
     return p
 
 
@@ -56,6 +59,12 @@ def main(argv=None):
     )
 
     cfg = Config()
+    if args.training_size:
+        import dataclasses
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, training_size=args.training_size,
+            labelled_data_range=min(args.training_size,
+                                    cfg.train.labelled_data_range)))
     if args.synthetic or not args.data_dir:
         dataset = SyntheticFreiHand(n=args.synthetic_size)
     else:
@@ -92,8 +101,14 @@ def main(argv=None):
                "keep": [], "labelled": []}
     n = len(dataset)
     bs = args.batch_size
-    for start in range(0, n - bs + 1, bs):
-        host = dataset.host_batch(np.arange(start, start + bs))
+    for start in range(0, n, bs):
+        # pad the tail batch (fixed device shapes), trim below — every
+        # record gets a db row; apply_filtered_labels aligns by index
+        idx = np.arange(start, min(start + bs, n))
+        if len(idx) < bs:
+            idx = np.concatenate(
+                [idx, np.full(bs - len(idx), idx[-1], idx.dtype)])
+        host = dataset.host_batch(idx)
         images = jnp.asarray(host["image"])
         K = jnp.asarray(host["K"])
         joint_cam = jnp.asarray(host["joint_cam"])
@@ -113,7 +128,7 @@ def main(argv=None):
         if start % (20 * bs) == 0:
             print(f"{start + bs}/{n} processed")
 
-    merged = {k: np.concatenate(v) for k, v in results.items()}
+    merged = {k: np.concatenate(v)[:n] for k, v in results.items()}
     np.savez(args.out, **merged)
     kept = merged["keep"].sum()
     print(f"kept {kept}/{len(merged['keep'])} samples -> {args.out}")

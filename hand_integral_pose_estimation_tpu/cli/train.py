@@ -61,6 +61,9 @@ def build_argparser():
     # pose sizing (smoke runs; defaults = reference R50 @224)
     p.add_argument("--pose-resnet", type=int, default=None)
     p.add_argument("--pose-input", type=int, default=None)
+    p.add_argument("--training-size", type=int, default=None,
+                   help="override cfg.train.training_size (partial "
+                        "downloads / mini fixtures)")
     return p
 
 
@@ -84,6 +87,11 @@ def main(argv=None):
     if args.lam is not None:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, lam=args.lam))
+    if args.training_size:
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, training_size=args.training_size,
+            labelled_data_range=min(args.training_size,
+                                    cfg.train.labelled_data_range)))
     if args.pose_resnet or args.pose_input:
         hw = args.pose_input or cfg.model.input_shape[0]
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(

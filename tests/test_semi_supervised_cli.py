@@ -36,6 +36,39 @@ def test_load_panet_params_orbax_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+FIXTURE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "fixtures", "freihand_mini")
+
+
+@run_slow
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(FIXTURE, "training_K.json")),
+    reason="freihand_mini fixture absent")
+def test_filtered_db_pipeline_on_fixture(tmp_path):
+    """generate_teacher_labels -> train --filtered-db on the real-format
+    fixture: every record gets a db row (tail batch included) and training
+    consumes the kept subset."""
+    import numpy as np
+
+    from hand_integral_pose_estimation_tpu.cli.generate_teacher_labels \
+        import main as gen_main
+    from hand_integral_pose_estimation_tpu.cli.train import main as train_main
+
+    db = str(tmp_path / "filtered.npz")
+    gen_main(["--data-dir", FIXTURE, "--training-size", "6",
+              "--batch-size", "8", "--out", db,
+              "--variance-threshold", "1e9"])   # keep everything
+    loaded = np.load(db)
+    assert len(loaded["keep"]) == 24            # 6 x 4 versions, incl. tail
+    assert loaded["keep"].all()
+    train_main(["--data-dir", FIXTURE, "--training-size", "6",
+                "--filtered-db", db, "--epochs", "1",
+                "--steps-per-epoch", "1", "--batch-size", "4",
+                "--pose-resnet", "18", "--pose-input", "64",
+                "--model-dir", str(tmp_path / "m"),
+                "--log-dir", str(tmp_path / "logs")])
+
+
 @run_slow
 def test_semi_supervised_pipeline(tmp_path):
     from hand_integral_pose_estimation_tpu.cli.train import (
