@@ -60,11 +60,7 @@ def main(argv=None):
 
     cfg = Config()
     if args.training_size:
-        import dataclasses
-        cfg = cfg.replace(train=dataclasses.replace(
-            cfg.train, training_size=args.training_size,
-            labelled_data_range=min(args.training_size,
-                                    cfg.train.labelled_data_range)))
+        cfg = cfg.with_training_size(args.training_size)
     if args.synthetic or not args.data_dir:
         dataset = SyntheticFreiHand(n=args.synthetic_size)
     else:
@@ -126,9 +122,15 @@ def main(argv=None):
             results[k].append(np.asarray(getattr(out, k)))
         results["labelled"].append(np.asarray(labelled))
         if start % (20 * bs) == 0:
-            print(f"{start + bs}/{n} processed")
+            print(f"{min(start + bs, n)}/{n} processed")
 
     merged = {k: np.concatenate(v)[:n] for k, v in results.items()}
+    # record identities for the load-time alignment check (rows are
+    # positional; a sizing mismatch must fail loudly, not mislabel)
+    from hand_integral_pose_estimation_tpu.data.detector_db import (
+        _record_names,
+    )
+    merged["name"] = _record_names(dataset)
     np.savez(args.out, **merged)
     kept = merged["keep"].sum()
     print(f"kept {kept}/{len(merged['keep'])} samples -> {args.out}")

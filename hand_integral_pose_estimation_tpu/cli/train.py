@@ -39,6 +39,12 @@ def build_argparser():
                         "(the reference's keypoint_bbox_db pickle, "
                         "FreiHand.py:382-409)")
     p.add_argument("--detector-ckpt", default=None)
+    p.add_argument("--detector-norm", choices=("batch", "group"),
+                   default="batch",
+                   help="must match the checkpoint's architecture: 'batch' "
+                        "(reference parity) or 'group' (cli/train_detector's "
+                        "from-scratch default)")
+    p.add_argument("--detector-resnet", type=int, default=None)
     p.add_argument("--test-sweep", action="store_true",
                    help="epoch-end average-loss sweep over the test split "
                         "(main/train.py:140-163)")
@@ -88,10 +94,12 @@ def main(argv=None):
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, lam=args.lam))
     if args.training_size:
-        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
-            cfg.train, training_size=args.training_size,
-            labelled_data_range=min(args.training_size,
-                                    cfg.train.labelled_data_range)))
+        cfg = cfg.with_training_size(args.training_size)
+    if args.detector_norm != "batch" or args.detector_resnet:
+        cfg = dataclasses.replace(cfg, detector=dataclasses.replace(
+            cfg.detector, norm=args.detector_norm,
+            freeze_bn=args.detector_norm == "batch",
+            resnet_type=args.detector_resnet or cfg.detector.resnet_type))
     if args.pose_resnet or args.pose_input:
         hw = args.pose_input or cfg.model.input_shape[0]
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
@@ -140,7 +148,12 @@ def main(argv=None):
               f"({dataset.num_labelled} labelled)")
 
     teacher_apply = None
-    if args.teacher_ckpt:
+    if args.teacher_ckpt and args.filtered_db:
+        # reference semantics (main/train.py:83-99): cached filtered
+        # pseudo-labels win over the live teacher forward
+        print("--filtered-db provides cached pseudo-labels; "
+              "ignoring --teacher-ckpt for the teacher loss term")
+    elif args.teacher_ckpt:
         from hand_integral_pose_estimation_tpu.training.teacher import (
             make_frozen_teacher,
         )

@@ -180,19 +180,13 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.data_dir:
-        import dataclasses
-
         from hand_integral_pose_estimation_tpu.config import Config
         from hand_integral_pose_estimation_tpu.data.freihand import (
             FreiHandDataset,
         )
         dcfg = Config()
         if args.training_size:
-            dcfg = dcfg.replace(train=dataclasses.replace(
-                dcfg.train, training_size=args.training_size,
-                labelled_data_range=min(
-                    args.training_size,
-                    dcfg.train.labelled_data_range)))
+            dcfg = dcfg.with_training_size(args.training_size)
         dataset = FreiHandDataset(args.data_dir, data_split="training",
                                   cfg=dcfg)
     else:

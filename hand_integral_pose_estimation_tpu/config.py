@@ -197,6 +197,18 @@ class Config:
     def replace(self, **kwargs) -> "Config":
         return dataclasses.replace(self, **kwargs)
 
+    def with_training_size(self, n: int) -> "Config":
+        """Shrink the split sizes for partial downloads / mini fixtures.
+
+        The SINGLE implementation of the --training-size override: the
+        CLIs that must agree on record ordering (train,
+        generate_teacher_labels, train_detector) all route through here —
+        filtered-db row alignment depends on identical sizing.
+        """
+        return self.replace(train=dataclasses.replace(
+            self.train, training_size=n,
+            labelled_data_range=min(n, self.train.labelled_data_range)))
+
 
 def default_config() -> Config:
     return Config()

@@ -286,6 +286,20 @@ def apply_filtered_labels(dataset: FreiHandDataset, npz_path: str
     keep = db["keep"]
     jcn = db["joint_cam_normalized"]
     tprime = db["tprime"]
+    if "name" in db:
+        # rows are positional — reject dbs generated for a different record
+        # set (e.g. a --training-size mismatch between the generation sweep
+        # and this run would silently attach wrong pseudo-labels)
+        names = np.asarray(
+            [os.path.basename(r.img_path) for r in dataset.records])
+        db_names = np.asarray(db["name"])
+        m = min(len(names), len(db_names))
+        if len(names) != len(db_names) or not (names[:m]
+                                               == db_names[:m]).all():
+            raise ValueError(
+                f"filtered db {npz_path} was generated for a different "
+                f"record set ({len(db_names)} rows vs {len(names)} records);"
+                " regenerate with matching --training-size")
     n = min(len(keep), len(dataset.records))
     new_records = []
     for i in range(n):

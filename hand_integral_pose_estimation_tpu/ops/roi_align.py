@@ -189,15 +189,26 @@ def roi_align_batched(features: jnp.ndarray, rois: jnp.ndarray,
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
     HW = H * W
     HWp = -(-HW // 8) * 8        # second-minor dim must be 8-aligned for DMA
-    fits = C % 128 == 0 and 4 * HWp * C < 8 * 1024 * 1024
+    P2 = pooled_size * pooled_size
+
+    def vmem_est(g):
+        # live VMEM residents: feature scratch, the (Mpad, HWp) W2 weight
+        # matrix (elementwise temporaries stream through vregs), the
+        # (Mpad, C) matmul result, and the double-buffered output block.
+        # Calibrated against the working R101@600² config (~12 MB)
+        mpad = -(-g * P2 // 8) * 8
+        return 4 * (HWp * C + mpad * HWp + mpad * C + 2 * g * P2 * C)
+
+    G = next((g for g in (6, 3, 2, 1)
+              if vmem_est(g) < 12 * 1024 * 1024), None)
+    fits = C % 128 == 0 and G is not None
     if impl == "auto":
         impl = "pallas" if (on_tpu or interpret) and fits else "xla"
     if impl != "pallas":
         return jax.vmap(
             lambda f, r: roi_align(f, r, pooled_size, spatial_scale,
                                    sampling_ratio))(features, rois)
-
-    G = 6                                   # rois per grid step (M = G*P^2)
+    G = G or 6                              # rois per grid step (M = G*P^2)
     Rpad = -(-R // G) * G
     rois_p = rois.astype(jnp.float32)
     if Rpad != R:

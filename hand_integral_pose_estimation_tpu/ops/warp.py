@@ -222,9 +222,12 @@ def warp_perspective_pallas(images: jnp.ndarray, H_mats: jnp.ndarray,
     Same math and filter as :func:`warp_perspective_twopass` (with bf16 MXU
     rounding of operands, like that path's DEFAULT precision on TPU).
 
-    `chunk` is the row-block size of the in-VMEM weight tensors — smaller
-    chunks let large sources (e.g. the 480² teacher-sweep images) stay on
-    the kernel path instead of falling back to the HBM-streaming twopass.
+    `chunk` is the row-block size of the in-VMEM weight tensors. It is a
+    tested but UNWIRED knob: the auto path never selects small chunks —
+    shrinking it to fit large sources (480² teacher sweeps) was tried and
+    reverted because Hs/chunk = 60 unrolled weight-block iterations defeat
+    Mosaic's buffer reuse (59.8 MB scoped-vmem compile OOM); large sources
+    dispatch to the streaming twopass instead.
     """
     B, Hs, Ws, C = images.shape
     Ho, Wo = out_hw

@@ -55,12 +55,14 @@ def test_filtered_db_pipeline_on_fixture(tmp_path):
     from hand_integral_pose_estimation_tpu.cli.train import main as train_main
 
     db = str(tmp_path / "filtered.npz")
+    # batch 7 over 24 records forces a padded tail batch (24 % 7 != 0)
     gen_main(["--data-dir", FIXTURE, "--training-size", "6",
-              "--batch-size", "8", "--out", db,
+              "--batch-size", "7", "--out", db,
               "--variance-threshold", "1e9"])   # keep everything
     loaded = np.load(db)
     assert len(loaded["keep"]) == 24            # 6 x 4 versions, incl. tail
     assert loaded["keep"].all()
+    assert len(loaded["name"]) == 24            # alignment identities
     train_main(["--data-dir", FIXTURE, "--training-size", "6",
                 "--filtered-db", db, "--epochs", "1",
                 "--steps-per-epoch", "1", "--batch-size", "4",

@@ -319,6 +319,32 @@ class TestFilteredLabels:
         assert out.records[1].teacher_tprime == 610.0
         assert out.num_labelled == 1 and out.num_unlabelled == 2
 
+    def test_apply_filtered_labels_rejects_misaligned_db(self, tmp_path):
+        """Rows are positional: a db carrying record names generated for a
+        DIFFERENT record set must be rejected, not silently misattached."""
+        import numpy as np
+        import pytest
+        from hand_integral_pose_estimation_tpu.data.freihand import (
+            FreiHandDataset,
+            SampleRecord,
+            apply_filtered_labels,
+        )
+
+        recs = [SampleRecord(img_path=f"img{i}.jpg",
+                             K=np.eye(3), joint_cam=np.zeros((21, 3)),
+                             ref_bone_len=1.0, labelled=False,
+                             version="gs", idx=i) for i in range(3)]
+        ds = FreiHandDataset.__new__(FreiHandDataset)
+        ds.records = recs
+        npz = tmp_path / "filtered.npz"
+        np.savez(npz,
+                 joint_cam_normalized=np.zeros((3, 21, 3), np.float32),
+                 tprime=np.ones(3), variance=np.zeros(3),
+                 keep=np.ones(3, bool),
+                 name=np.array(["other0.jpg", "other1.jpg", "other2.jpg"]))
+        with pytest.raises(ValueError, match="different record set"):
+            apply_filtered_labels(ds, str(npz))
+
 
 class TestTeacherPath:
     def test_train_step_with_live_teacher(self):

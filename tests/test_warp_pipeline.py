@@ -288,8 +288,9 @@ class TestPallasWarp:
         np.testing.assert_allclose(out, imgs, atol=1e-5)
 
     def test_small_chunk_matches_default(self, rng):
-        """chunk=8 (used for large teacher-sweep sources) is numerically
-        identical to the default chunking."""
+        """chunk=8 is numerically identical to the default chunking (the
+        knob is unwired in production — see warp_perspective_pallas — but
+        must stay correct)."""
         from hand_integral_pose_estimation_tpu.ops.warp import (
             warp_perspective_pallas)
         imgs = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32) * 255)
