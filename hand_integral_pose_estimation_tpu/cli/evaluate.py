@@ -137,14 +137,14 @@ def main(argv=None):
                      "batch_stats": state.batch_stats}
         pipe = TwoStagePipeline(cfg, model, pose_vars, detector, det_vars)
 
+        from hand_integral_pose_estimation_tpu.data.freihand import (
+            padded_batches,
+        )
+
         n, bs = len(dataset), args.batch_size
         coords_all, bbox_all = [], []
         K_all, ref_all = [], []
-        for start in range(0, n, bs):
-            idx = np.arange(start, min(start + bs, n))
-            if len(idx) < bs:    # fixed shapes: pad, then drop below
-                idx = np.concatenate(
-                    [idx, np.full(bs - len(idx), idx[-1], idx.dtype)])
+        for idx in padded_batches(n, bs):   # fixed shapes: pad, drop below
             host = dataset.host_batch(idx)
             out = pipe(jnp.asarray(host["image"]),
                        jnp.asarray(host["K"]),

@@ -95,15 +95,15 @@ def main(argv=None):
 
     results = {"joint_cam_normalized": [], "tprime": [], "variance": [],
                "keep": [], "labelled": []}
+    from hand_integral_pose_estimation_tpu.data.freihand import (
+        padded_batches,
+    )
     n = len(dataset)
     bs = args.batch_size
-    for start in range(0, n, bs):
-        # pad the tail batch (fixed device shapes), trim below — every
+    for idx in padded_batches(n, bs):
+        # tail batch padded (fixed device shapes), trimmed below — every
         # record gets a db row; apply_filtered_labels aligns by index
-        idx = np.arange(start, min(start + bs, n))
-        if len(idx) < bs:
-            idx = np.concatenate(
-                [idx, np.full(bs - len(idx), idx[-1], idx.dtype)])
+        start = int(idx[0])
         host = dataset.host_batch(idx)
         images = jnp.asarray(host["image"])
         K = jnp.asarray(host["K"])

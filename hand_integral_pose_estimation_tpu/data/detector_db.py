@@ -43,13 +43,12 @@ def generate_detector_bboxes(dataset, detector, det_variables,
         return detect_hand_crop_bbox(detector, det_variables, images,
                                      det_cfg, pad_factor=pad_factor)
 
+    from hand_integral_pose_estimation_tpu.data.freihand import (
+        padded_batches,
+    )
     n = len(dataset)
     out = []
-    for start in range(0, n, batch_size):
-        idx = np.arange(start, min(start + batch_size, n))
-        if len(idx) < batch_size:
-            idx = np.concatenate(
-                [idx, np.full(batch_size - len(idx), idx[-1], idx.dtype)])
+    for idx in padded_batches(n, batch_size):
         host = dataset.host_batch(idx)
         out.append(np.asarray(run(jnp.asarray(host["image"]))))
     return np.concatenate(out)[:n].astype(np.float32)

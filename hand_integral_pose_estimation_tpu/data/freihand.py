@@ -267,6 +267,20 @@ class SyntheticFreiHand:
         }
 
 
+def padded_batches(n: int, batch_size: int) -> Iterator[np.ndarray]:
+    """Index arrays covering [0, n) in fixed-size batches; the tail batch is
+    padded by repeating its final index (device shapes stay static — callers
+    concatenate results and trim with `[:n]`). The shared sweep helper for
+    Tester.run, the evaluate CLI, detector-db generation and teacher-label
+    generation — the reference DataLoader's drop_last=False equivalent."""
+    for start in range(0, n, batch_size):
+        idx = np.arange(start, min(start + batch_size, n))
+        if len(idx) < batch_size:
+            idx = np.concatenate(
+                [idx, np.full(batch_size - len(idx), idx[-1], idx.dtype)])
+        yield idx
+
+
 def batch_iterator(dataset, batch_size: int, steps: int,
                    seed: int = 0) -> Iterator[dict]:
     rng = np.random.RandomState(seed)
@@ -290,8 +304,10 @@ def apply_filtered_labels(dataset: FreiHandDataset, npz_path: str
         # rows are positional — reject dbs generated for a different record
         # set (e.g. a --training-size mismatch between the generation sweep
         # and this run would silently attach wrong pseudo-labels)
-        names = np.asarray(
-            [os.path.basename(r.img_path) for r in dataset.records])
+        from hand_integral_pose_estimation_tpu.data.detector_db import (
+            _record_names,
+        )
+        names = _record_names(dataset)
         db_names = np.asarray(db["name"])
         m = min(len(names), len(db_names))
         if len(names) != len(db_names) or not (names[:m]

@@ -300,14 +300,13 @@ class Tester:
         the reference DataLoader, which evaluates the full split including the
         smaller tail batch (main/test.py:68-143).
         """
+        from hand_integral_pose_estimation_tpu.data.freihand import (
+            padded_batches,
+        )
         bs = batch_size or self.cfg.train.test_batch_size
         n = len(self.dataset)
         coords_all, batches = [], []
-        for start in range(0, n, bs):
-            idx = np.arange(start, min(start + bs, n))
-            if len(idx) < bs:
-                idx = np.concatenate(
-                    [idx, np.full(bs - len(idx), idx[-1], idx.dtype)])
+        for idx in padded_batches(n, bs):
             host = self.dataset.host_batch(idx)
             batch = self._preprocess(host["image"], host["joint_cam"],
                                      host["K"], host["ref_bone_len"],
