@@ -10,6 +10,7 @@ import tempfile
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hand_integral_pose_estimation_tpu.data import pipeline
 from hand_integral_pose_estimation_tpu.evaluation import (
@@ -169,6 +170,39 @@ class TestAbsoluteDepth:
         depth, was_complex = estimate_absolute_depth(bone, K, rel)
         assert not bool(was_complex)
         np.testing.assert_allclose(float(depth), float(z_root), rtol=1e-4)
+
+
+REF_PREDS = "/root/reference/main/evaluation_predictions.npy"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_PREDS),
+                    reason="reference artifacts not available")
+class TestReferenceArtifactInterop:
+    """Drop-in compatibility with the reference's own prediction dumps: a
+    reference user can bring `main/evaluation_predictions.npy` straight to
+    our scorer (main/eval.py contract)."""
+
+    def test_score_reference_predictions(self):
+        from hand_integral_pose_estimation_tpu.cli.score import (
+            load_predictions,
+        )
+        from hand_integral_pose_estimation_tpu.evaluation import (
+            score_predictions,
+        )
+        preds = load_predictions(REF_PREDS)
+        assert preds.shape == (3960, 21, 3)
+        # score against a 5 mm-perturbed copy: EPE must report the injected
+        # noise level in the scorer's cm units on real-distribution data
+        rng = np.random.RandomState(0)
+        noise = rng.randn(*preds.shape)
+        noise *= 0.005 / np.linalg.norm(noise, axis=-1, keepdims=True)
+        out = score_predictions(preds + noise, preds)
+        assert abs(out["xyz_mean3d_cm"] - 0.5) < 0.01
+        assert out["xyz_auc3d"] > 0.9
+        # self-score is exact
+        perfect = score_predictions(preds, preds)
+        assert perfect["xyz_mean3d_cm"] < 1e-6
+        assert perfect["xyz_auc3d"] > 0.999
 
 
 class TestCameraDiagnostic:
