@@ -22,7 +22,9 @@ from hand_integral_pose_estimation_tpu.detect.hand_detector import (
 )
 from hand_integral_pose_estimation_tpu.evaluation import metrics
 from hand_integral_pose_estimation_tpu.models.pose_net import ResPoseNet
-from hand_integral_pose_estimation_tpu.ops.integral import softmax_integral
+from hand_integral_pose_estimation_tpu.ops.fused_head import (
+    head_projection_integral,
+)
 
 
 class PipelineOutput(NamedTuple):
@@ -59,8 +61,11 @@ class TwoStagePipeline:
                 images_rgb, jnp.zeros((images_rgb.shape[0], J, 3),
                                       jnp.float32),
                 K, bbox, ref_bone_len, cfg.augment, hw)
-            hm = self.pose_net.apply(pose_vars, batch.image, train=False)
-            coords = softmax_integral(hm, J, D)
+            # fused projection+integral: the heatmap never leaves VMEM
+            feats = self.pose_net.apply(pose_vars, batch.image, train=False,
+                                        return_features=True)
+            Wp, bp = self.pose_net.final_projection(pose_vars["params"])
+            coords = head_projection_integral(feats, Wp, bp, J, D)
             # back-projection without derotation + bone rescale
             # (evaluate_evaluations contract, FreiHand.py:853-917)
             from hand_integral_pose_estimation_tpu.geometry import labels
