@@ -86,6 +86,41 @@ class TestNMS:
         np.testing.assert_allclose(np.asarray(got_b)[:nk], boxes[keep][:nk],
                                    atol=1e-9)
 
+    def test_alternating_suppression_chain(self):
+        """A line of boxes where each overlaps only its neighbours: greedy
+        keeps alternating members — the case where the within-tile fixpoint
+        needs its full iteration depth (naive one-shot masking would
+        over-suppress: box 2 is saved because box 1 died to box 0)."""
+        n = 40
+        # spacing 4, width 11 (+1 convention): neighbour IoU 0.467 (> 0.3),
+        # next-but-one IoU 0.158 (< 0.3)
+        boxes = np.stack([
+            np.arange(n) * 4.0, np.zeros(n),
+            np.arange(n) * 4.0 + 10.0, np.full(n, 10.0)], axis=1)
+        scores = np.linspace(1.0, 0.5, n)     # descending along the chain
+        keep = _np_greedy_nms(boxes, scores, 0.3)
+        assert keep == list(range(0, n, 2))   # alternating survivors
+        got_b, _, got_v = nms(jnp.asarray(boxes), jnp.asarray(scores),
+                              0.3, n)
+        assert int(got_v.sum()) == len(keep)
+        np.testing.assert_allclose(np.asarray(got_b)[:len(keep)],
+                                   boxes[keep], atol=1e-9)
+
+    def test_chain_across_tile_boundary(self):
+        """The same alternating chain spanning several 512-box tiles: a
+        box's fate can depend on a suppressor in the previous tile."""
+        n = 1100
+        boxes = np.stack([
+            np.arange(n) * 4.0, np.zeros(n),
+            np.arange(n) * 4.0 + 10.0, np.full(n, 10.0)], axis=1)
+        scores = np.linspace(1.0, 0.5, n)
+        keep = _np_greedy_nms(boxes, scores, 0.3)
+        got_b, _, got_v = nms(jnp.asarray(boxes), jnp.asarray(scores),
+                              0.3, n)
+        assert int(got_v.sum()) == len(keep)
+        np.testing.assert_allclose(np.asarray(got_b)[:len(keep)],
+                                   boxes[keep], atol=1e-9)
+
     def test_fixed_output_padding(self, rng):
         boxes = jnp.asarray([[0, 0, 10, 10], [100, 100, 110, 110.0]])
         scores = jnp.asarray([0.9, 0.8])
