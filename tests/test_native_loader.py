@@ -70,6 +70,26 @@ class TestDecode:
             with pytest.raises(IOError):
                 loader.wait()
 
+    def test_corrupt_jpeg_raises_not_crashes(self, jpeg_files, tmp_path):
+        """A truncated/garbage JPEG must surface as a decode-error count
+        (the C++ setjmp libjpeg trap), never crash the worker thread."""
+        paths, _ = jpeg_files
+        bad = tmp_path / "bad.jpg"
+        with open(paths[0], "rb") as f:
+            data = f.read()
+        bad.write_bytes(data[: len(data) // 3])       # truncated stream
+        garbage = tmp_path / "garbage.jpg"
+        garbage.write_bytes(b"\x00" * 256)            # not a JPEG at all
+        loader = native_loader.NativeLoader(batch=2)
+        loader.submit([str(bad), str(garbage)])
+        if loader.available:
+            with pytest.raises(IOError):
+                loader.wait()
+            # the loader stays usable after an error batch
+            loader.submit([paths[0]])
+            out = loader.wait()
+            assert out.shape == (1, 224, 224, 3)
+
 
 class TestTrainerPrefetch:
     def test_each_batch_decoded_once(self, jpeg_files):
