@@ -208,7 +208,14 @@ def roi_align_batched(features: jnp.ndarray, rois: jnp.ndarray,
         return jax.vmap(
             lambda f, r: roi_align(f, r, pooled_size, spatial_scale,
                                    sampling_ratio))(features, rois)
-    G = G or 6                              # rois per grid step (M = G*P^2)
+    if G is None:
+        # explicit impl="pallas" with a feature map the VMEM probe rejects:
+        # fail attributably here instead of as an opaque Mosaic scoped-vmem
+        # OOM at compile time (auto callers never reach this branch)
+        raise ValueError(
+            f"roi_align_batched(impl='pallas'): feature map {H}x{W}x{C} "
+            f"does not fit the VMEM budget at any group size "
+            f"(est {vmem_est(1) / 2**20:.1f} MiB at G=1); use impl='xla'")
     Rpad = -(-R // G) * G
     rois_p = rois.astype(jnp.float32)
     if Rpad != R:
@@ -225,7 +232,7 @@ def roi_align_batched(features: jnp.ndarray, rois: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, Rpad, 4), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # whole array, in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # whole array, in HBM
         ],
         out_specs=pl.BlockSpec(
             (1, G, pooled_size, pooled_size, C),

@@ -299,6 +299,12 @@ class Tester:
         device shapes fixed, then padding rows are dropped on host — matching
         the reference DataLoader, which evaluates the full split including the
         smaller tail batch (main/test.py:68-143).
+
+        Only the fields evaluation consumes are accumulated: the (B, 224,
+        224, 3) image patches are dropped per batch (merged.image is None) —
+        on the real test split (4 versions x 3 254 samples) retaining them
+        would hold ~7.8 GB of pixels in host RAM for an evaluator that only
+        needs coords + small geometry fields.
         """
         from hand_integral_pose_estimation_tpu.data.freihand import (
             padded_batches,
@@ -313,7 +319,8 @@ class Tester:
                                      host["bbox_detector"])
             coords, _ = self.eval_step(self.state, batch)
             coords_all.append(np.asarray(coords))
-            batches.append(jax.tree_util.tree_map(np.asarray, batch))
+            batches.append(jax.tree_util.tree_map(
+                np.asarray, batch._replace(image=None)))
         coords = np.concatenate(coords_all)[:n]
         merged = jax.tree_util.tree_map(
             lambda *xs: np.concatenate(xs)[:n], *batches)

@@ -241,6 +241,38 @@ class TestTester:
         loss_exact = tester.mean_loss(batch_size=5)
         np.testing.assert_allclose(loss, loss_exact, rtol=1e-5)
 
+    def test_split_scale_sweep_bounded_memory(self):
+        """A 5k-sample sweep must not retain the image patches: the real
+        test split is 4 x 3 254 samples whose (224, 224, 3) patches alone
+        would be ~7.8 GB of host RAM; evaluation only consumes coords +
+        small geometry fields (evaluation/evaluator.py:24-41)."""
+        from hand_integral_pose_estimation_tpu.evaluation.evaluator import (
+            evaluate_test_split,
+        )
+        from hand_integral_pose_estimation_tpu.training import Tester
+        cfg = Config(
+            model=ModelConfig(resnet_type=18, input_shape=(32, 32),
+                              output_shape=(8, 8), depth_dim=8,
+                              compute_dtype="float32"),
+            train=TrainConfig(batch_size=4, lr=1e-3),
+        )
+        n = 5003          # non-divisible: exercises the padded tail too
+        ds = SyntheticFreiHand(n=n, image_hw=(32, 32), seed=4)
+        t = Trainer(cfg=cfg, dataset=ds, model_dir=tempfile.mkdtemp(),
+                    integral_impl="xla")
+        tester = Tester(cfg, ds, t.state, integral_impl="xla")
+        coords, merged = tester.run(batch_size=512)
+        assert coords.shape[0] == n
+        assert merged.image is None
+        held = sum(x.nbytes for x in jax.tree_util.tree_leaves(merged))
+        # every retained field is O(n * J * 3); the patches alone would have
+        # been n*32*32*3*4 = 61 MB at this toy size (3 GB at 224^2)
+        assert held < 25 * 2**20, f"accumulated {held / 2**20:.1f} MiB"
+        # the slimmed batch still drives the full protocol evaluation
+        summary = evaluate_test_split(coords, merged, patch_hw=(32, 32))
+        assert np.isfinite(summary["pa_mpjpe"])
+        assert np.isfinite(tester.mean_loss(batch_size=512))
+
     def test_fit_epoch_end_test_sweep(self):
         """Trainer.fit with a test_dataset logs an epoch-end test loss
         (main/train.py:140-163)."""
