@@ -30,7 +30,14 @@ def build_argparser():
                    help="two-stage detect->crop->pose even in synthetic mode "
                         "(always on for the real label-free split)")
     p.add_argument("--detector-ckpt", default=None,
-                   help="orbax detector params dir (fresh weights if absent)")
+                   help="orbax detector params dir or a reference "
+                        "faster_rcnn_*.pth (converted on load; fresh "
+                        "weights if absent)")
+    p.add_argument("--detector-style", choices=("torchvision", "caffe"),
+                   default=None,
+                   help="ResNet block variant; default: caffe for .pth "
+                        "checkpoints (the reference's weights require it), "
+                        "else torchvision")
     p.add_argument("--bbox-db", default=None,
                    help="npz cache of detector crop boxes; reused when it "
                         "matches the dataset, written after a detector sweep "
@@ -84,6 +91,9 @@ def main(argv=None):
         detector=dataclasses.replace(
             cfg.detector, resnet_type=args.detector_resnet,
             norm=args.detector_norm,
+            resnet_style=args.detector_style or (
+                "caffe" if (args.detector_ckpt or "")
+                .endswith((".pth", ".pt")) else "torchvision"),
             freeze_bn=args.detector_norm == "batch",
             test_scale=args.detector_scale,
             test_max_size=(cfg.detector.test_max_size

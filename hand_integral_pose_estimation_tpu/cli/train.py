@@ -38,7 +38,25 @@ def build_argparser():
                    help="npz cache of per-image detector crop boxes "
                         "(the reference's keypoint_bbox_db pickle, "
                         "FreiHand.py:382-409)")
-    p.add_argument("--detector-ckpt", default=None)
+    p.add_argument("--detector-ckpt", default=None,
+                   help="orbax dir or a reference faster_rcnn_*.pth "
+                        "(torch checkpoints are converted on load)")
+    p.add_argument("--detector-style", choices=("torchvision", "caffe"),
+                   default=None,
+                   help="ResNet block variant; default: caffe when "
+                        "--detector-ckpt is a .pth (the reference's "
+                        "weights require it), else torchvision")
+    p.add_argument("--imagenet-init", default=None,
+                   help="torchvision ImageNet ResNet .pth to initialise "
+                        "the pose backbone from (common/nets/"
+                        "resnet.py:70-76 model-zoo init)")
+    p.add_argument("--mesh", default="auto",
+                   help="device mesh for sharded training: 'auto' "
+                        "(data-parallel over all devices when >1 is "
+                        "visible — the reference's default DataParallel "
+                        "scope, base.py:141-145), 'none' (single device), "
+                        "or 'data=N,model=M'. batch-size must divide by "
+                        "the data-axis size")
     p.add_argument("--detector-norm", choices=("batch", "group"),
                    default="batch",
                    help="must match the checkpoint's architecture: 'batch' "
@@ -95,11 +113,16 @@ def main(argv=None):
             cfg, train=dataclasses.replace(cfg.train, lam=args.lam))
     if args.training_size:
         cfg = cfg.with_training_size(args.training_size)
-    if args.detector_norm != "batch" or args.detector_resnet:
+    det_style = args.detector_style or (
+        "caffe" if (args.detector_ckpt or "").endswith((".pth", ".pt"))
+        else cfg.detector.resnet_style)
+    if (args.detector_norm != "batch" or args.detector_resnet
+            or det_style != cfg.detector.resnet_style):
         cfg = dataclasses.replace(cfg, detector=dataclasses.replace(
             cfg.detector, norm=args.detector_norm,
             freeze_bn=args.detector_norm == "batch",
-            resnet_type=args.detector_resnet or cfg.detector.resnet_type))
+            resnet_type=args.detector_resnet or cfg.detector.resnet_type,
+            resnet_style=det_style))
     if args.pose_resnet or args.pose_input:
         hw = args.pose_input or cfg.model.input_shape[0]
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
@@ -174,11 +197,31 @@ def main(argv=None):
         print(f"PANet prior loaded from {args.panet_ckpt} "
               f"(lambda = {cfg.train.lam})")
 
+    mesh, model_par, auto_mesh = None, 1, False
+    if args.mesh == "auto":
+        auto_mesh = True
+    elif args.mesh not in ("none", "1"):
+        # explicit 'data=N,model=M' layout
+        import jax
+
+        from hand_integral_pose_estimation_tpu.parallel import make_mesh
+        spec = dict(kv.split("=") for kv in args.mesh.split(","))
+        data_n = int(spec.get("data", 0))
+        model_par = int(spec.get("model", 1))
+        if data_n * model_par != len(jax.devices()):
+            raise SystemExit(
+                f"--mesh {args.mesh} needs {data_n * model_par} devices, "
+                f"{len(jax.devices())} visible")
+        mesh = make_mesh(model_parallelism=model_par)
+
     trainer = Trainer(cfg=cfg, dataset=dataset, model_dir=args.model_dir,
                       log_dir=args.log_dir,
                       continue_train=args.continue_train, seed=args.seed,
                       teacher_apply=teacher_apply, panet_apply=panet_apply,
-                      test_dataset=test_dataset)
+                      test_dataset=test_dataset,
+                      imagenet_init=args.imagenet_init,
+                      mesh=mesh, model_parallelism=model_par,
+                      auto_mesh=auto_mesh)
     trainer.fit(end_epoch=args.epochs,
                 steps_per_epoch=args.steps_per_epoch)
 

@@ -120,6 +120,11 @@ class DetectorConfig:
     #: (GroupNorm-32 — the from-scratch recipe; batch-size independent and
     #: train=eval consistent, see models/resnet.py:_Norm)
     norm: str = "batch"
+    #: ResNet variant: "torchvision" (stride on the 3x3 bottleneck conv) or
+    #: "caffe" — the reference detector's blocks put the stride on the first
+    #: 1x1 conv and use a ceil-mode stem pool (faster_rcnn/resnet.py:67-80,
+    #: 115); its shipped faster_rcnn_*.pth weights require "caffe".
+    resnet_style: str = "torchvision"
     anchor_scales: Tuple[int, ...] = (4, 8, 16, 32)   # hand_detector.py:120
     anchor_ratios: Tuple[float, float, float] = (0.5, 1.0, 2.0)
     feat_stride: int = 16

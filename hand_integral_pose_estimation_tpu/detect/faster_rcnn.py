@@ -74,7 +74,8 @@ class FasterRCNN(nn.Module):
         # setup; live when training from scratch (cfg.freeze_bn=False)
         bn_train = train and not c.freeze_bn
         base = ResNetBackbone(c.resnet_type, self.dtype, None,
-                              num_stages=3, norm=c.norm, name="base")
+                              num_stages=3, norm=c.norm,
+                              style=c.resnet_style, name="base")
         feats = base(images.astype(self.dtype), train=bn_train)
         fh, fw = feats.shape[1], feats.shape[2]
 
@@ -132,7 +133,7 @@ class FasterRCNN(nn.Module):
         pooled = pooled.reshape(B * R, c.pooling_size, c.pooling_size, -1)
 
         tail = ResNetStage4(c.resnet_type, self.dtype, None, norm=c.norm,
-                            name="tail")
+                            style=c.resnet_style, name="tail")
         h = tail(pooled, train=bn_train).mean(axis=(1, 2))  # (B*R, 2048)
 
         cls_logits = nn.Dense(num_classes, dtype=self.dtype,

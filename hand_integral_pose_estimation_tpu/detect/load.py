@@ -39,13 +39,26 @@ def build_detector(det_cfg: DetectorConfig,
     det_vars = {"params": det_vars["params"],
                 "batch_stats": det_vars.get("batch_stats", {})}
     if ckpt_path:
-        if os.path.exists(ckpt_path):
+        if not os.path.exists(ckpt_path):
+            log(f"detector checkpoint {ckpt_path} not found — "
+                "using fresh weights")
+        elif ckpt_path.endswith((".pth", ".pt")):
+            # reference torch checkpoint (faster_rcnn_*.pth,
+            # hand_detector.py:111-158): convert the jwyang-layout state
+            # dict; requires det_cfg.resnet_style == "caffe" (the converter
+            # enforces it attributably)
+            from hand_integral_pose_estimation_tpu.interop import (
+                convert_faster_rcnn_state_dict,
+                load_torch_state_dict,
+            )
+            det_vars = convert_faster_rcnn_state_dict(
+                load_torch_state_dict(ckpt_path), det_cfg)
+            det_vars = jax.tree_util.tree_map(jnp.asarray, det_vars)
+            log(f"converted torch detector checkpoint from {ckpt_path}")
+        else:
             from hand_integral_pose_estimation_tpu.training.checkpoint import (
                 load_pytree,
             )
             det_vars = load_pytree(ckpt_path, det_vars)
             log(f"loaded detector checkpoint from {ckpt_path}")
-        else:
-            log(f"detector checkpoint {ckpt_path} not found — "
-                "using fresh weights")
     return model, det_vars

@@ -99,20 +99,33 @@ class BasicBlock(nn.Module):
 
 
 class Bottleneck(nn.Module):
+    """`stride_style` picks where the stage stride sits: "torchvision" puts
+    it on the 3x3 conv (the pose backbone's torchvision blocks,
+    common/nets/resnet.py:8-76); "caffe" puts it on the first 1x1 conv —
+    the detector's variant (lib/model_rcnn/faster_rcnn/resnet.py:67-80,
+    the `# change` lines), which its `resnet101_caffe.pth` /
+    `faster_rcnn_*.pth` weights were trained with. The two styles compute
+    different functions at stride-2 blocks, so weight conversion requires
+    matching the style, not just the shapes."""
+
     filters: int          # bottleneck width; output channels = 4x
     stride: int = 1
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     norm: str = "batch"
+    stride_style: str = "torchvision"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        caffe = self.stride_style == "caffe"
+        s1 = (self.stride, self.stride) if caffe else (1, 1)
+        s3 = (1, 1) if caffe else (self.stride, self.stride)
         residual = x
-        y = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype,
-                    kernel_init=_conv_init)(x)
+        y = nn.Conv(self.filters, (1, 1), strides=s1, use_bias=False,
+                    dtype=self.dtype, kernel_init=_conv_init)(x)
         y = _Norm(self.dtype, self.bn_axis_name, train, self.norm)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.filters, (3, 3), strides=(self.stride, self.stride),
+        y = nn.Conv(self.filters, (3, 3), strides=s3,
                     padding=1, use_bias=False, dtype=self.dtype,
                     kernel_init=_conv_init)(y)
         y = _Norm(self.dtype, self.bn_axis_name, train, self.norm)(y)
@@ -143,6 +156,12 @@ class ResNetBackbone(nn.Module):
     num_stages: int = 4
     stage_strides: Tuple[int, int, int, int] = (1, 2, 2, 2)
     norm: str = "batch"
+    #: "torchvision" (pose backbone) or "caffe" (detector weights) — see
+    #: Bottleneck. Also selects the stem maxpool padding: torchvision pads
+    #: (1, 1); caffe uses padding=0 + ceil_mode=True
+    #: (lib/model_rcnn/faster_rcnn/resnet.py:115), which for even inputs is
+    #: one trailing pad row/col — nn.max_pool's -inf padding reproduces it.
+    style: str = "torchvision"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -155,14 +174,18 @@ class ResNetBackbone(nn.Module):
                     name="conv1")(x)
         x = _Norm(self.dtype, self.bn_axis_name, train, self.norm)(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        pool_pad = (((0, 1), (0, 1)) if self.style == "caffe"
+                    else ((1, 1), (1, 1)))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=pool_pad)
 
         for stage in range(self.num_stages):
             for i in range(layers[stage]):
                 stride = self.stage_strides[stage] if i == 0 else 1
+                kw = ({"stride_style": self.style}
+                      if block is Bottleneck else {})
                 x = block(widths[stage], stride, self.dtype,
                           self.bn_axis_name, self.norm,
-                          name=f"layer{stage + 1}_{i}")(x, train=train)
+                          name=f"layer{stage + 1}_{i}", **kw)(x, train=train)
         return x
 
     @property
@@ -181,6 +204,7 @@ class ResNetStage4(nn.Module):
     bn_axis_name: Optional[str] = None
     stride: int = 2
     norm: str = "batch"
+    style: str = "torchvision"   # see ResNetBackbone.style
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -188,6 +212,7 @@ class ResNetStage4(nn.Module):
         block = BasicBlock if block_name == "basic" else Bottleneck
         for i in range(layers[3]):
             s = self.stride if i == 0 else 1
+            kw = {"stride_style": self.style} if block is Bottleneck else {}
             x = block(512, s, self.dtype, self.bn_axis_name, self.norm,
-                      name=f"layer4_{i}")(x, train=train)
+                      name=f"layer4_{i}", **kw)(x, train=train)
         return x

@@ -5,6 +5,7 @@ from hand_integral_pose_estimation_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     make_multihost_mesh,
     param_sharding_rules,
+    place_state,
     process_batch_size,
     replicated,
     shard_batch,

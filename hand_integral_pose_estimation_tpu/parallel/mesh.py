@@ -72,15 +72,20 @@ def process_batch_size(global_batch: int) -> int:
     return global_batch // n
 
 
-def shard_host_batch(mesh: Mesh, local_batch, data_axis: str = "data"):
+def shard_host_batch(mesh: Mesh, local_batch, data_axis: str = "data",
+                     batch_axis: int = 0):
     """Per-host local batch pytree -> globally-sharded jax.Arrays.
 
     Each process passes ONLY its local shard (size
     `process_batch_size(global)`); `make_array_from_process_local_data`
     assembles the global array without any cross-host copies. On one process
     this equals `shard_batch`.
+
+    `batch_axis=1` shards the SECOND axis — the Trainer's scan-chunked
+    feed, where leaves are stacked (scan_steps, B, ...).
     """
-    s = batch_sharding(mesh, data_axis)
+    spec = P(*([None] * batch_axis), data_axis)
+    s = NamedSharding(mesh, spec)
 
     def put(x):
         return jax.make_array_from_process_local_data(s, np.asarray(x))
@@ -100,6 +105,31 @@ def shard_batch(mesh: Mesh, batch, data_axis: str = "data"):
     """Device-put every leaf of a batch pytree with its batch dim sharded."""
     s = batch_sharding(mesh, data_axis)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+
+
+def place_state(mesh: Mesh, state, model_axis: str = "model"):
+    """Device-put a whole TrainState onto the mesh: every leaf replicated
+    except the final heatmap projection's tensors (params AND their Adam
+    moments — optax state mirrors the param tree, so the same path rule
+    applies), whose output channels shard over `model`.
+
+    One explicit placement at init keeps every subsequent step resharding-
+    free; without it each step would re-shard the moments from the default
+    single-device placement.
+    """
+    model_size = mesh.shape[model_axis]
+
+    def put(path, leaf):
+        names = [getattr(k, "key", getattr(k, "name", str(k)))
+                 for k in path]
+        spec = P()
+        if (model_size > 1 and "final" in names
+                and getattr(leaf, "ndim", 0) >= 1
+                and leaf.shape[-1] % model_size == 0):
+            spec = P(*([None] * (leaf.ndim - 1) + [model_axis]))
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(put, state)
 
 
 def param_sharding_rules(mesh: Mesh, params,

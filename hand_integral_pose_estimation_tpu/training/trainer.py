@@ -67,9 +67,28 @@ class Trainer:
     #: test-split dataset for the epoch-end loss sweep
     #: (main/train.py:140-163); None skips the sweep
     test_dataset: Optional[object] = None
+    #: path to a torchvision ImageNet ResNet .pth: the backbone is
+    #: overwritten with converted weights before training (the reference's
+    #: `init_weights` model-zoo init, common/nets/resnet.py:70-76); a
+    #: `--continue` resume wins over it
+    imagenet_init: Optional[str] = None
+    #: device mesh for sharded training: pass `parallel.make_mesh(...)` for
+    #: an explicit layout, or set `auto_mesh` to build a process-aware
+    #: (data, model) mesh over all visible devices — the runner-level
+    #: equivalent of the reference defaulting to DataParallel over all GPUs
+    #: (common/base.py:141-145). cli/train.py turns auto_mesh on by default
+    #: whenever >1 device is visible (`--mesh none` opts out). The global
+    #: batch is cfg.train.batch_size and must divide by the data-axis size;
+    #: each process feeds only its local slice.
+    mesh: Optional[object] = None
+    #: model-axis size for the auto-built mesh (shards the 1176-channel
+    #: final heatmap projection; 1 = pure DP, the reference's layout)
+    model_parallelism: int = 1
+    auto_mesh: bool = False
 
     def __post_init__(self):
         self.logger = color_logger(self.log_dir, "train_logs.txt")
+        self._local_batch = self.cfg.train.batch_size
         self.model = get_pose_net(self.cfg.model)
         steps_per_epoch = max(
             1, len(self.dataset) // self.cfg.train.batch_size)
@@ -87,6 +106,21 @@ class Trainer:
         self.state, _ = create_train_state(
             self.model, jax.random.PRNGKey(self.seed), sample,
             self.cfg.train, steps_per_epoch, tx=self.tx)
+        if self.imagenet_init:
+            from hand_integral_pose_estimation_tpu.interop import (
+                imagenet_init_pose_variables,
+                load_torch_state_dict,
+            )
+            new_vars = imagenet_init_pose_variables(
+                {"params": self.state.params,
+                 "batch_stats": self.state.batch_stats},
+                load_torch_state_dict(self.imagenet_init),
+                self.cfg.model.resnet_type)
+            self.state = dataclasses.replace(
+                self.state, params=new_vars["params"],
+                batch_stats=new_vars["batch_stats"])
+            self.logger.info("backbone initialised from ImageNet weights "
+                             "(%s)", self.imagenet_init)
         self.start_epoch = 0
         if self.continue_train:
             try:
@@ -96,6 +130,31 @@ class Trainer:
                 self.logger.info("resumed from snapshot_%d", epoch)
             except FileNotFoundError:
                 self.logger.info("no snapshot found; training from scratch")
+
+        if self.mesh is None and (self.auto_mesh
+                                  or self.model_parallelism > 1) \
+                and jax.device_count() > 1:
+            from hand_integral_pose_estimation_tpu.parallel import (
+                make_multihost_mesh,
+            )
+            self.mesh = make_multihost_mesh(
+                model_parallelism=self.model_parallelism)
+        if self.mesh is not None:
+            from hand_integral_pose_estimation_tpu.parallel import (
+                place_state, process_batch_size,
+            )
+            dsize = self.mesh.shape["data"]
+            if self.cfg.train.batch_size % dsize:
+                raise ValueError(
+                    f"batch_size {self.cfg.train.batch_size} must divide "
+                    f"by the data-axis size {dsize}")
+            # each process feeds only its local slice of the global batch
+            self._local_batch = process_batch_size(
+                self.cfg.train.batch_size)
+            self.state = place_state(self.mesh, self.state)
+            self.logger.info(
+                "training over mesh %s",
+                dict(zip(self.mesh.axis_names, self.mesh.devices.shape)))
 
         self.train_step = make_train_step(
             self.model, self.tx, self.cfg,
@@ -113,8 +172,7 @@ class Trainer:
                 NativeLoader,
             )
             hw = self.cfg.model.input_shape
-            self._loader = NativeLoader(self.cfg.train.batch_size,
-                                        hw[0], hw[1])
+            self._loader = NativeLoader(self._local_batch, hw[0], hw[1])
         self.read_timer = Timer()
         self.step_timer = Timer()
         self.total_timer = Timer()
@@ -146,7 +204,7 @@ class Trainer:
         return fn
 
     def _sample_records(self, rng):
-        idx = self.dataset.sample_indices(rng, self.cfg.train.batch_size)
+        idx = self.dataset.sample_indices(rng, self._local_batch)
         return [self.dataset.records[i] for i in idx]
 
     def _host_batch_kwargs(self, rng):
@@ -170,8 +228,7 @@ class Trainer:
             self._pending_recs = recs
             host = stack_host_batch(ready, list(images))
         else:
-            idx = self.dataset.sample_indices(rng,
-                                              self.cfg.train.batch_size)
+            idx = self.dataset.sample_indices(rng, self._local_batch)
             host = self.dataset.host_batch(idx)
         return {
             "image": host["image"],
@@ -182,6 +239,25 @@ class Trainer:
             "bbox_detector": host["bbox_detector"],
             "teacher_cam_normalized": host["teacher_cam_normalized"],
         }
+
+    def _mesh_ctx(self):
+        """`jax.set_mesh` context when sharded, else a no-op."""
+        import contextlib
+        return (jax.set_mesh(self.mesh) if self.mesh is not None
+                else contextlib.nullcontext())
+
+    def _shard(self, host_kwargs, batch_axis: int):
+        """Host batch pytree -> mesh-sharded arrays (no-op without a mesh).
+
+        `batch_axis=1` is the scan-chunked layout (scan_steps, B, ...);
+        None-valued optional fields pass through untouched."""
+        if self.mesh is None:
+            return host_kwargs
+        from hand_integral_pose_estimation_tpu.parallel import (
+            shard_host_batch,
+        )
+        return shard_host_batch(self.mesh, host_kwargs,
+                                batch_axis=batch_axis)
 
     def run_epoch(self, epoch: int, num_steps: Optional[int] = None,
                   log_every: int = 20) -> dict:
@@ -203,18 +279,22 @@ class Trainer:
 
             self.step_timer.tic()
             key, sub = jax.random.split(key)
-            if k == 1:
-                batch = self._preprocess(sub, **chunk[0])
-                self.state, metrics = self.train_step(self.state, batch)
-            else:
-                keys = jax.random.split(sub, len(chunk))
-                stacked = jax.tree_util.tree_map(
-                    lambda *xs: np.stack(xs) if xs[0] is not None else None,
-                    *chunk, is_leaf=lambda x: x is None or not isinstance(
-                        x, dict))
-                self.state, metrics = self._scan_train(self.state, keys,
-                                                       stacked)
-                metrics = {k2: v[-1] for k2, v in metrics.items()}
+            with self._mesh_ctx():
+                if k == 1:
+                    host = self._shard(chunk[0], batch_axis=0)
+                    batch = self._preprocess(sub, **host)
+                    self.state, metrics = self.train_step(self.state, batch)
+                else:
+                    keys = jax.random.split(sub, len(chunk))
+                    stacked = jax.tree_util.tree_map(
+                        lambda *xs: (np.stack(xs)
+                                     if xs[0] is not None else None),
+                        *chunk, is_leaf=lambda x: x is None
+                        or not isinstance(x, dict))
+                    stacked = self._shard(stacked, batch_axis=1)
+                    self.state, metrics = self._scan_train(self.state, keys,
+                                                           stacked)
+                    metrics = {k2: v[-1] for k2, v in metrics.items()}
             jax.block_until_ready(metrics["loss"])
             self.step_timer.toc()
             self.total_timer.toc()
