@@ -11,3 +11,8 @@ from hand_integral_pose_estimation_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     shard_host_batch,
 )
+from hand_integral_pose_estimation_tpu.parallel.shard_ops import (  # noqa: F401
+    sharded_head_projection_integral,
+    sharded_softmax_integral,
+    sharded_warp_perspective_batch,
+)

@@ -32,7 +32,8 @@ def make_train_step(model, tx, cfg: Config,
                     teacher_apply: Optional[Callable] = None,
                     panet_apply: Optional[Callable] = None,
                     integral_impl: str = "auto",
-                    fuse_head: bool = True):
+                    fuse_head: bool = True,
+                    mesh=None):
     """Build the jittable train step.
 
     Args:
@@ -42,9 +43,31 @@ def make_train_step(model, tx, cfg: Config,
             label-space coords (used when the batch carries no cached
             pseudo-labels, train.py:83-99).
         panet_apply: optional NRSfM forward for the PANet loss term.
+        mesh: when set, the Pallas decode runs PARTITIONED over the mesh
+            via the shard_map wrappers (parallel/shard_ops.py) instead of
+            the partitioner's replicated fallback around the opaque
+            pallas_call.
     """
     J = cfg.model.num_joints
     D = cfg.model.depth_dim
+
+    def _decode_fused(feats, Wp, bp):
+        if mesh is not None:
+            from hand_integral_pose_estimation_tpu.parallel import (
+                sharded_head_projection_integral,
+            )
+            return sharded_head_projection_integral(
+                feats, Wp, bp, J, D, mesh=mesh, impl=integral_impl)
+        return head_projection_integral(feats, Wp, bp, J, D, integral_impl)
+
+    def _decode_hm(hm):
+        if mesh is not None:
+            from hand_integral_pose_estimation_tpu.parallel import (
+                sharded_softmax_integral,
+            )
+            return sharded_softmax_integral(hm, J, D, mesh=mesh,
+                                            impl=integral_impl)
+        return softmax_integral(hm, J, D, impl=integral_impl)
 
     def loss_fn(params, batch_stats, batch: Batch):
         if fuse_head:
@@ -55,14 +78,13 @@ def make_train_step(model, tx, cfg: Config,
                 mutable=["batch_stats"],
             )
             Wp, bp = model.final_projection(params)
-            coord_out = head_projection_integral(feats, Wp, bp, J, D,
-                                                 integral_impl)
+            coord_out = _decode_fused(feats, Wp, bp)
         else:
             hm, mutated = model.apply(
                 {"params": params, "batch_stats": batch_stats},
                 batch.image, train=True, mutable=["batch_stats"],
             )
-            coord_out = softmax_integral(hm, J, D, impl=integral_impl)
+            coord_out = _decode_hm(hm)
 
         if teacher_apply is not None:
             coord_teacher = jax.lax.stop_gradient(

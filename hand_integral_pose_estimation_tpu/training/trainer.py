@@ -159,7 +159,7 @@ class Trainer:
         self.train_step = make_train_step(
             self.model, self.tx, self.cfg,
             teacher_apply=self.teacher_apply, panet_apply=self.panet_apply,
-            integral_impl=self.integral_impl)
+            integral_impl=self.integral_impl, mesh=self.mesh)
         self._preprocess = jax.jit(self._make_preprocess())
         self._scan_train = jax.jit(self._make_scan_train())
 
