@@ -14,10 +14,12 @@ nms.cu:14-21).
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 
 
 def box_iou(a: jnp.ndarray, b: jnp.ndarray, plus_one: bool = True
@@ -45,7 +47,9 @@ def box_iou(a: jnp.ndarray, b: jnp.ndarray, plus_one: bool = True
 
 def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
         top_k: int, score_threshold: float = -jnp.inf,
-        plus_one: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        plus_one: bool = True, impl: str = "auto",
+        interpret: bool = False
+        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Greedy NMS with a fixed-size output.
 
     Args:
@@ -55,6 +59,9 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
         top_k: number of output slots (zero-padded).
         score_threshold: boxes at or below are pre-suppressed
             (hand_detector.py:228 uses 0.001 before its NMS).
+        impl: "xla" (tiled scan + fixpoint), "pallas" (one fused kernel,
+            ops-level redesign of the reference's nms.cu bitmask tiling),
+            or "auto" (pallas on TPU for large candidate sets).
 
     Returns:
         (boxes (top_k, 4), scores (top_k,), valid (top_k,) bool) in
@@ -66,12 +73,25 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
     s = scores[order]
     alive0 = s > score_threshold
 
-    # Tiled sweep (the TPU-standard exact-greedy formulation): process boxes
-    # in score order in tiles of T; each tile is first suppressed by the
-    # already-final earlier boxes via a (T, N) IoU strip, then resolved
-    # internally by fixpoint self-suppression (the map
-    # F(a)[i] = cand[i] & !exists j<i: a[j] & iou[j,i] > t has the greedy
-    # solution as its unique fixpoint). Peak memory O(T*N), not O(N^2).
+    if impl == "auto":
+        on_tpu = any(d.platform == "tpu" for d in jax.devices())
+        impl = "pallas" if on_tpu and N >= 512 else "xla"
+    if impl == "pallas":
+        alive = _make_alive_pallas(float(iou_threshold), plus_one,
+                                   interpret)(b, alive0)
+        return _compact(b, s, alive, top_k)
+    alive = _alive_xla(b, s, alive0, iou_threshold, plus_one)
+    return _compact(b, s, alive, top_k)
+
+
+def _alive_xla(b, s, alive0, iou_threshold, plus_one):
+    """Tiled sweep (the TPU-standard exact-greedy formulation): process
+    boxes in score order in tiles of T; each tile is first suppressed by
+    the already-final earlier boxes via a (T, N) IoU strip, then resolved
+    internally by fixpoint self-suppression (the map
+    F(a)[i] = cand[i] & !exists j<i: a[j] & iou[j,i] > t has the greedy
+    solution as its unique fixpoint). Peak memory O(T*N), not O(N^2)."""
+    N = b.shape[0]
     T = int(min(512, N))
     pad = (-N) % T
     if pad:
@@ -112,12 +132,13 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
         return alive, None
 
     alive, _ = jax.lax.scan(tile_step, alive0, jnp.arange(num_tiles))
-    alive = alive[:N]
-    b = b[:N]
-    s = s[:N]
-    idx = jnp.arange(N)
+    return alive[:N]
 
-    # compact the survivors to the front: rank by (alive desc, score order)
+
+def _compact(b, s, alive, top_k):
+    """Survivors to the front: rank by (alive desc, score order)."""
+    N = b.shape[0]
+    idx = jnp.arange(N)
     if top_k > N:  # pad when fewer candidates than output slots
         pad = top_k - N
         b = jnp.concatenate([b, jnp.zeros((pad, 4), b.dtype)])
@@ -130,3 +151,167 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
     out_boxes = jnp.where(valid[:, None], b[sel], 0.0)
     out_scores = jnp.where(valid, s[sel], 0.0)
     return out_boxes, out_scores, valid
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas NMS
+#
+# Ops-level redesign of the reference's CUDA bitmask kernel + host greedy
+# sweep (lib/model_rcnn/csrc/cuda/nms.cu:23-131). The CUDA shape — compute
+# all 64x64 suppression bitmasks in parallel blocks, then resolve greedily
+# on the host — exists because a GPU has thousands of independent blocks
+# and a host a cheap serial loop. A TPU core executes its Pallas grid
+# SEQUENTIALLY, which is exactly what greedy NMS wants: one kernel walks
+# the score-sorted tiles in order, holding the alive vector in the
+# revisited output block (VMEM-resident across grid steps), so the whole
+# NMS is ONE kernel launch instead of a lax.scan of strip products plus
+# per-tile while_loop dispatches.
+#
+# Per grid step t (tile = boxes [t*T, t*T+T)):
+#   1. (Np, T) IoU strip vs ALL boxes, computed as `inter > thr * union`
+#      (no divide) from a (Np, 8) column layout and an (8, T) tile layout
+#      — both orientations are precomputed host-side so the kernel needs
+#      no transposes;
+#   2. candidates = tile alive0 minus suppression by FINALIZED earlier
+#      boxes (rows < t*T of the alive vector);
+#   3. exact greedy within the tile: a fori_loop row sweep where row i is
+#      extracted by an eye-masked sublane reduction (Mosaic-friendly; no
+#      dynamic sublane slicing), suppressed iff a kept j < i hits it;
+#   4. the tile's verdict is stored back into the alive column.
+# ---------------------------------------------------------------------------
+
+_NMS_TILE = 128
+
+
+def _nms_kernel(tiles_ref, cols_ref, alive_ref, *, T, thr, off):
+    t = pl.program_id(1)
+    start = t * T
+    tile = tiles_ref[0, 0]                # (8, T): x1 y1 x2 y2 area alive
+    cols = cols_ref[0]                    # (Np, 8)
+
+    @pl.when(t == 0)
+    def _init():
+        alive_ref[0] = cols[:, 5:6]
+
+    x1a, y1a = cols[:, 0:1], cols[:, 1:2]             # (Np, 1)
+    x2a, y2a = cols[:, 2:3], cols[:, 3:4]
+    area_a = cols[:, 4:5]
+    x1t, y1t = tile[0:1, :], tile[1:2, :]             # (1, T)
+    x2t, y2t = tile[2:3, :], tile[3:4, :]
+    area_t, alive_t = tile[4:5, :], tile[5:6, :]
+
+    iw = jnp.maximum(jnp.minimum(x2a, x2t) - jnp.maximum(x1a, x1t) + off,
+                     0.0)
+    ih = jnp.maximum(jnp.minimum(y2a, y2t) - jnp.maximum(y1a, y1t) + off,
+                     0.0)
+    inter = iw * ih                                   # (Np, T)
+    union = area_a + area_t - inter
+    hit = (inter > thr * union).astype(jnp.float32)   # (Np, T)
+
+    # suppression by finalized earlier boxes (rows < start)
+    Np = cols.shape[0]
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (Np, 1), 0)
+    earlier = (row_idx < start).astype(jnp.float32)
+    alive_all = alive_ref[0]                          # (Np, 1)
+    sup = jnp.max(hit * alive_all * earlier, axis=0, keepdims=True)
+    cand = alive_t * (1.0 - sup)                      # (1, T)
+
+    # exact greedy row sweep within the tile. The (T, T) tile-vs-tile hit
+    # matrix is computed directly (Mosaic cannot dynamic_slice a computed
+    # value); row orientation (T, 1) of each tile coordinate comes from an
+    # eye-masked lane reduction — no transposes.
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+           ).astype(jnp.float32)
+
+    def _t(v):          # (1, T) -> (T, 1)
+        return jnp.sum(eye * v, axis=1, keepdims=True)
+
+    x1r, y1r, x2r, y2r = _t(x1t), _t(y1t), _t(x2t), _t(y2t)
+    iwt = jnp.maximum(jnp.minimum(x2r, x2t) - jnp.maximum(x1r, x1t) + off,
+                      0.0)
+    iht = jnp.maximum(jnp.minimum(y2r, y2t) - jnp.maximum(y1r, y1t) + off,
+                      0.0)
+    inter_t = iwt * iht                               # (T, T)
+    union_t = _t(area_t) + area_t - inter_t
+    hit_tile = (inter_t > thr * union_t).astype(jnp.float32)
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+    rowi_onehot = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+
+    def body(i, a):
+        row_i = jnp.sum(hit_tile * (rowi_onehot == i).astype(jnp.float32),
+                        axis=0, keepdims=True)        # (1, T) = hit[i, :]
+        kept_before = a * (col_idx < i).astype(jnp.float32)
+        sup_i = jnp.max(row_i * kept_before)          # scalar
+        return jnp.where(col_idx == i, a * (1.0 - sup_i), a)
+
+    a_final = jax.lax.fori_loop(0, T, body, cand)     # (1, T)
+
+    # store the tile verdict into the alive column (eye-trick transpose)
+    a_col = jnp.sum(eye * a_final, axis=1, keepdims=True)     # (T, 1)
+    alive_ref[0, pl.ds(start, T), :] = a_col
+
+
+def _alive_pallas_batched(b, alive0, iou_threshold: float, plus_one: bool,
+                          interpret: bool):
+    """(B, N, 4) score-sorted boxes + (B, N) pre-alive -> (B, N) keep."""
+    Bsz, N, _ = b.shape
+    T = _NMS_TILE
+    pad = (-N) % T
+    if pad:
+        b = jnp.concatenate(
+            [b, jnp.zeros((Bsz, pad, 4), b.dtype)], axis=1)
+        alive0 = jnp.concatenate(
+            [alive0, jnp.zeros((Bsz, pad), bool)], axis=1)
+    Np = N + pad
+    num_tiles = Np // T
+
+    bf = b.astype(jnp.float32)
+    off = 1.0 if plus_one else 0.0
+    area = ((bf[..., 2] - bf[..., 0] + off)
+            * (bf[..., 3] - bf[..., 1] + off))
+    zeros = jnp.zeros((Bsz, Np), jnp.float32)
+    cols = jnp.stack([bf[..., 0], bf[..., 1], bf[..., 2], bf[..., 3],
+                      area, alive0.astype(jnp.float32), zeros, zeros],
+                     axis=-1)                          # (B, Np, 8)
+    tiles = cols.reshape(Bsz, num_tiles, T, 8).transpose(0, 1, 3, 2)
+
+    kernel = functools.partial(_nms_kernel, T=T, thr=float(iou_threshold),
+                               off=off)
+    alive = pl.pallas_call(
+        kernel,
+        grid=(Bsz, num_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, 8, T), lambda bi, t: (bi, t, 0, 0)),
+            pl.BlockSpec((1, Np, 8), lambda bi, t: (bi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, Np, 1), lambda bi, t: (bi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((Bsz, Np, 1), jnp.float32),
+        interpret=interpret,
+    )(tiles, cols)
+    return alive[:, :N, 0] > 0.5
+
+
+def _make_alive_pallas(iou_threshold: float, plus_one: bool,
+                       interpret: bool):
+    """Single-set alive resolver with a custom vmap rule: proposal_layer
+    vmaps `nms` over the image batch, and the generic pallas batching
+    rule must not reinterpret our sequential grid — batching instead maps
+    onto the kernel's own leading grid dimension."""
+
+    @jax.custom_batching.custom_vmap
+    def alive_fn(b, alive0):
+        return _alive_pallas_batched(b[None], alive0[None], iou_threshold,
+                                     plus_one, interpret)[0]
+
+    @alive_fn.def_vmap
+    def _rule(axis_size, in_batched, b, alive0):   # noqa: ANN001
+        if not in_batched[0]:
+            b = jnp.broadcast_to(b, (axis_size,) + b.shape)
+        if not in_batched[1]:
+            alive0 = jnp.broadcast_to(alive0, (axis_size,) + alive0.shape)
+        out = _alive_pallas_batched(b, alive0, iou_threshold, plus_one,
+                                    interpret)
+        return out, True
+
+    return alive_fn

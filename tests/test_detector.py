@@ -54,6 +54,79 @@ def _np_greedy_nms(boxes, scores, thresh):
     return keep
 
 
+class TestNMSPallas:
+    """The fused one-kernel NMS (ops/nms.py:_nms_kernel, the TPU redesign
+    of nms.cu:23-131) in interpret mode: identical keep-sets to the oracle
+    on the suppression chains, and to the XLA fixpoint on f32 inputs."""
+
+    def _pallas(self, boxes, scores, thresh, top_k, **kw):
+        return nms(jnp.asarray(boxes), jnp.asarray(scores), thresh, top_k,
+                   impl="pallas", interpret=True, **kw)
+
+    def test_alternating_chain_across_kernel_tiles(self):
+        """The alternating chain spanning many 128-box kernel tiles — a
+        box's fate depends on a suppressor finalized tiles earlier."""
+        n = 1100
+        boxes = np.stack([
+            np.arange(n) * 4.0, np.zeros(n),
+            np.arange(n) * 4.0 + 10.0, np.full(n, 10.0)], axis=1)
+        scores = np.linspace(1.0, 0.5, n)
+        keep = _np_greedy_nms(boxes, scores, 0.3)
+        assert keep == list(range(0, n, 2))
+        got_b, _, got_v = self._pallas(boxes, scores, 0.3, n)
+        assert int(got_v.sum()) == len(keep)
+        np.testing.assert_allclose(np.asarray(got_b)[:len(keep)],
+                                   boxes[keep], atol=1e-9)
+
+    def test_matches_xla_impl_random_and_clustered(self, rng):
+        """f32 apples-to-apples vs the fixpoint impl: random boxes and the
+        realistic clustered-proposal regime (many near-duplicates)."""
+        for mode in ("random", "clustered"):
+            n = 700
+            if mode == "random":
+                ctr = rng.rand(n, 2) * 300
+                wh = rng.rand(n, 2) * 60 + 5
+            else:
+                ctr = (rng.rand(n, 2) * 40
+                       + np.repeat(rng.rand(7, 2) * 200, 100, axis=0))
+                wh = rng.rand(n, 2) * 30 + 20
+            boxes = np.concatenate([ctr - wh / 2, ctr + wh / 2],
+                                   axis=1).astype(np.float32)
+            scores = rng.rand(n).astype(np.float32)
+            xb, xs, xv = nms(jnp.asarray(boxes), jnp.asarray(scores),
+                             0.7, 300, impl="xla")
+            pb, ps, pv = self._pallas(boxes, scores, 0.7, 300)
+            np.testing.assert_array_equal(np.asarray(xv), np.asarray(pv))
+            np.testing.assert_allclose(np.asarray(xb), np.asarray(pb))
+
+    def test_score_threshold_and_padding(self):
+        boxes = np.asarray([[0, 0, 10, 10], [100, 100, 110, 110.0]])
+        scores = np.asarray([0.9, 0.0005])
+        b, _, v = self._pallas(boxes, scores, 0.5, 5,
+                               score_threshold=0.001)
+        assert bool(v[0]) and not bool(v[1:].any())
+        assert b.shape == (5, 4)
+
+    def test_vmapped_as_in_proposal_layer(self, rng):
+        """proposal_layer vmaps nms over the image batch; the custom_vmap
+        rule must map onto the kernel's own leading grid dim, per-image
+        results identical to the unbatched calls."""
+        B, n = 3, 300
+        ctr = rng.rand(B, n, 2) * 200
+        wh = rng.rand(B, n, 2) * 50 + 5
+        boxes = np.concatenate([ctr - wh / 2, ctr + wh / 2],
+                               axis=-1).astype(np.float32)
+        scores = rng.rand(B, n).astype(np.float32)
+        fn = lambda bx, sc: nms(bx, sc, 0.5, 100, impl="pallas",  # noqa: E731
+                                interpret=True)
+        vb, vs, vv = jax.vmap(fn)(jnp.asarray(boxes), jnp.asarray(scores))
+        for i in range(B):
+            sb, ss, sv = fn(jnp.asarray(boxes[i]), jnp.asarray(scores[i]))
+            np.testing.assert_array_equal(np.asarray(vv[i]),
+                                          np.asarray(sv))
+            np.testing.assert_allclose(np.asarray(vb[i]), np.asarray(sb))
+
+
 class TestNMS:
     def test_matches_numpy_oracle(self, rng):
         for trial in range(5):
