@@ -59,9 +59,12 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
         top_k: number of output slots (zero-padded).
         score_threshold: boxes at or below are pre-suppressed
             (hand_detector.py:228 uses 0.001 before its NMS).
-        impl: "xla" (tiled scan + fixpoint), "pallas" (one fused kernel,
-            ops-level redesign of the reference's nms.cu bitmask tiling),
-            or "auto" (pallas on TPU for large candidate sets).
+        impl: "xla" (tiled scan + fixpoint — the default and the winner:
+            0.87 ms vs 5.95 ms for the fused kernel per batch-4 at
+            N=6000 clustered proposals, see PERFORMANCE.md), "pallas"
+            (one fused kernel, ops-level redesign of the reference's
+            nms.cu bitmask tiling; kept as the measured negative), or
+            "auto" (= xla).
 
     Returns:
         (boxes (top_k, 4), scores (top_k,), valid (top_k,) bool) in
@@ -74,8 +77,7 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
     alive0 = s > score_threshold
 
     if impl == "auto":
-        on_tpu = any(d.platform == "tpu" for d in jax.devices())
-        impl = "pallas" if on_tpu and N >= 512 else "xla"
+        impl = "xla"
     if impl == "pallas":
         alive = _make_alive_pallas(float(iou_threshold), plus_one,
                                    interpret)(b, alive0)
@@ -166,6 +168,13 @@ def _compact(b, s, alive, top_k):
 # revisited output block (VMEM-resident across grid steps), so the whole
 # NMS is ONE kernel launch instead of a lax.scan of strip products plus
 # per-tile while_loop dispatches.
+#
+# MEASURED NEGATIVE (kept as a tested option, not the default): 5.95 ms
+# vs the fixpoint's 0.87 ms per batch-4 at N=6000 clustered proposals on
+# the v5e. The exact-greedy row sweep (step 3 below) is ~N sequential VPU
+# steps of masked (T, T) reductions, while the fixpoint impl resolves a
+# tile in 3-7 (T, N)-matmul iterations on the MXU. Fusing the strip into
+# one launch cannot pay back three orders of magnitude of serial VPU work.
 #
 # Per grid step t (tile = boxes [t*T, t*T+T)):
 #   1. (Np, T) IoU strip vs ALL boxes, computed as `inter > thr * union`
