@@ -47,6 +47,8 @@ class SampleRecord:
     detector_bbox: Optional[np.ndarray] = None       # (4,) cx,cy,w,h
     teacher_cam_normalized: Optional[np.ndarray] = None
     teacher_tprime: Optional[float] = None
+    mano: Optional[np.ndarray] = None    # (1, 61) pose+shape+trans row —
+    # stored-but-unconsumed parity with FreiHand.py:196-211
 
 
 class FreiHandDataset:
@@ -71,7 +73,16 @@ class FreiHandDataset:
         with open(os.path.join(base, "training_scale.json")) as f:
             scale_list = json.load(f)
         assert len(K_list) == len(xyz_list) == len(scale_list)
-        return K_list, xyz_list, scale_list
+        # mano is loaded into the db like the reference does
+        # (FreiHand.py:196-211, 'Size mismatch.' assert) but consumed by
+        # nothing downstream — storage parity only.
+        mano_path = os.path.join(base, "training_mano.json")
+        mano_list = None
+        if os.path.exists(mano_path):
+            with open(mano_path) as f:
+                mano_list = json.load(f)
+            assert len(K_list) == len(mano_list), "Size mismatch."
+        return K_list, xyz_list, scale_list, mano_list
 
     def _split_range(self):
         t = self.cfg.train
@@ -110,7 +121,7 @@ class FreiHandDataset:
     def _load(self):
         if self.data_split == "evaluation":
             return self._load_evaluation()
-        K_list, xyz_list, scale_list = self._load_annotations()
+        K_list, xyz_list, scale_list, mano_list = self._load_annotations()
         start, end = self._split_range()
         lab_range = self.cfg.train.labelled_data_range
         for version in VERSIONS:
@@ -126,6 +137,8 @@ class FreiHandDataset:
                     labelled=(idx < lab_range),
                     version=version,
                     idx=idx,
+                    mano=(None if mano_list is None
+                          else np.asarray(mano_list[idx], np.float64)),
                 ))
         # labelled records first (FreiHand.py:472)
         self.records.sort(key=lambda r: r.labelled, reverse=True)

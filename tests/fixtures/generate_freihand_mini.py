@@ -67,6 +67,14 @@ def main():
         json.dump(xyzs, f)
     with open(os.path.join(OUT, "training_scale.json"), "w") as f:
         json.dump(scales, f)
+    # mano rows: (1, 61) pose+shape+trans, the real files' nesting.
+    # Separate rng so adding this file did not shift the image stream of
+    # the committed fixture.
+    mrng = np.random.RandomState(61)
+    manos = [mrng.uniform(-1, 1, (1, 61)).tolist()
+             for _ in range(N_TRAIN_ANN)]
+    with open(os.path.join(OUT, "training_mano.json"), "w") as f:
+        json.dump(manos, f)
 
     for idx in TRAIN_IDS:
         base = render(np.asarray(Ks[idx]), np.asarray(xyzs[idx]), rng)

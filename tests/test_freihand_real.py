@@ -53,6 +53,18 @@ class TestMiniFixtureTraining:
             assert file_id == r.idx + DB_SIZE * VERSIONS.index(r.version)
             assert os.path.exists(r.img_path), r.img_path
 
+    def test_mano_stored_like_reference(self):
+        """training_mano.json is loaded into the db with the reference's
+        size-mismatch assert but consumed by nothing (FreiHand.py:196-211)
+        — storage parity; absence of the file is also legal."""
+        ds = FreiHandDataset(FIXTURE, "training", mini_cfg())
+        assert all(r.mano is not None and r.mano.shape == (1, 61)
+                   for r in ds.records)
+        with open(os.path.join(FIXTURE, "training_mano.json")) as f:
+            mano = json.load(f)
+        for r in ds.records:
+            np.testing.assert_allclose(r.mano, np.asarray(mano[r.idx]))
+
     def test_load_testing_split(self):
         ds = FreiHandDataset(FIXTURE, "testing", mini_cfg())
         # start = training_size + 1 = 7, span = testing_size - 1 = 1
