@@ -27,6 +27,12 @@ def build_argparser():
     p.add_argument("--training-size", type=int, default=None,
                    help="override cfg.train.training_size (partial "
                         "downloads / mini fixtures)")
+    p.add_argument("--rotation-mode", choices=("factored", "composed"),
+                   default="factored",
+                   help="warp structure of the rotation sweep (factored = "
+                        "shared crop + patch-space rotations, the fast "
+                        "path; composed = one full-source warp per "
+                        "rotation)")
     return p
 
 
@@ -91,7 +97,7 @@ def main(argv=None):
             teacher_apply, images, K, bbox, labelled, joint_cam,
             cfg.augment, cfg.train.teacher_num_rotations,
             cfg.train.teacher_rotation_range, args.variance_threshold,
-            cfg.model.input_shape)
+            cfg.model.input_shape, rotation_mode=args.rotation_mode)
 
     results = {"joint_cam_normalized": [], "tprime": [], "variance": [],
                "keep": [], "labelled": []}

@@ -48,6 +48,7 @@ def generate_filtered_labels(
     rotation_range: float = 0.52,
     variance_threshold: float = 1e-4,
     patch_hw=(224, 224),
+    rotation_mode: str = "factored",
 ) -> FilteredLabels:
     """Variance-filtered pseudo-labels for one batch.
 
@@ -65,6 +66,21 @@ def generate_filtered_labels(
     The rotations are `num_rotations` evenly spaced z-axis angles over
     [-rotation_range, rotation_range] (the reference's
     np.arange(-0.52, 0.53, 0.05), :467).
+
+    rotation_mode selects the warp structure (same coordinate maps, two
+    factorings):
+      * "composed" — one warp per (sample, rotation): B*T resamples of the
+        FULL-SIZE source by trans @ K R K^-1. Weight-build cost (the VPU
+        bottleneck, PERFORMANCE.md) scales with Hs*Ws per warp.
+      * "factored" (default) — the expensive source-space crop is SHARED
+        across rotations: one axis-aligned warp per sample onto an S x S
+        base whose (traced) field of view covers every rotated crop —
+        the crop's circumscribed square plus the arc its centre sweeps
+        rotating about the principal point — then B*T small S -> patch
+        similarity warps H = trans @ (K R K^-1) @ transS^-1 that read
+        only real base content. The double resample changes the filter
+        the same way the reference's own rotate-then-crop double cv2
+        warp does (tested: tight agreement on smooth content).
     """
     B = images.shape[0]
     ph, pw = patch_hw
@@ -80,13 +96,43 @@ def generate_filtered_labels(
         scale=acfg.scale, inv=True)
     tprime = bbox_mod.tprime_from_bbox(bbox, K, acfg.scaling_constant)
 
-    # (B, T, 3, 3) total homographies; one batched warp of B*T crops
     rot_h = jax.vmap(lambda Ki: jax.vmap(
         lambda R: transforms.rotation_homography(Ki, R))(Rz))(K)
-    H_total = trans[:, None] @ rot_h
-    imgs_rep = jnp.repeat(images.astype(jnp.float32), T, axis=0)
-    patches = warp_perspective_batch(
-        imgs_rep, H_total.reshape(B * T, 3, 3), patch_hw)
+    if rotation_mode == "composed":
+        # (B, T, 3, 3) total homographies; one batched warp of B*T crops
+        H_total = trans[:, None] @ rot_h
+        imgs_rep = jnp.repeat(images.astype(jnp.float32), T, axis=0)
+        patches = warp_perspective_batch(
+            imgs_rep, H_total.reshape(B * T, 3, 3), patch_hw)
+    elif rotation_mode == "factored":
+        import math
+        # The base must cover every rotated crop. Rotation is about the
+        # PRINCIPAL POINT (K R K^-1), so a crop square of side L centred
+        # at c needs, per axis: cover·L/2 (its own circumscribed square)
+        # plus 2·sin(θmax/2)·|c - pp| (the arc its centre sweeps). Both
+        # are traced — only the S x S raster is static; per-sample pixel
+        # density adapts (slightly coarser than the patch only when the
+        # box is far off-centre AND large).
+        cover = math.cos(rotation_range) + math.sin(rotation_range)
+        sweep = 2.0 * math.sin(rotation_range / 2.0)
+        S = 352
+        pp = K[:, 0:2, 2]                                  # (B, 2)
+        d = jnp.linalg.norm(bbox[:, 0:2] - pp, axis=-1)    # (B,)
+        margin = sweep * d + 4.0
+        wS = cover * bbox[:, 2] * acfg.scale + 2.0 * margin
+        hS = cover * bbox[:, 3] * acfg.scale + 2.0 * margin
+        transS = transforms.trans_from_patch(
+            bbox[:, 0], bbox[:, 1], wS, hS, S, S)          # (B, 3, 3)
+        transS_inv = transforms.trans_from_patch(
+            bbox[:, 0], bbox[:, 1], wS, hS, S, S, inv=True)
+        base = warp_perspective_batch(
+            images.astype(jnp.float32), transS, (S, S), method="affine")
+        H_patch = trans[:, None] @ rot_h @ transS_inv[:, None]
+        base_rep = jnp.repeat(base, T, axis=0)
+        patches = warp_perspective_batch(
+            base_rep, H_patch.reshape(B * T, 3, 3), patch_hw, chunk=16)
+    else:
+        raise ValueError(rotation_mode)
     mean = jnp.asarray(acfg.pixel_mean, patches.dtype)
     patches = jnp.clip((patches - mean), 0.0, 255.0)
 

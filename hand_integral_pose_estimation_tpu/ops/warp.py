@@ -325,7 +325,8 @@ def warp_perspective_batch(images: jnp.ndarray, H_mats: jnp.ndarray,
                            out_hw: tuple[int, int],
                            inverse: bool = False,
                            method: str = "auto",
-                           precision=None) -> jnp.ndarray:
+                           precision=None,
+                           chunk: int = 32) -> jnp.ndarray:
     """(B, H, W, C) x (B, 3, 3) -> (B, Ho, Wo, C).
 
     method: "pallas" (fastest generic path on TPU: weights never leave
@@ -347,9 +348,15 @@ def warp_perspective_batch(images: jnp.ndarray, H_mats: jnp.ndarray,
     # REVERTED: Hs/chunk = 60 unrolled weight-block iterations defeat
     # Mosaic's buffer reuse (59.8 MB scoped-vmem OOM at compile) — large
     # sources stay on the streaming twopass path.
-    vmem_est = 4 * (32 * Ws * Wo + Wo * C * Hs
+    while Hs % chunk or Wo % chunk:
+        chunk //= 2
+    vmem_est = 4 * (chunk * Ws * Wo + Wo * C * Hs
                     + 2 * Hs * C * Ws + 2 * Wo * C * Ho)
-    fits = vmem_est < 11 * 1024 * 1024
+    # unroll guard: the pallas kernel's per-pass Python loops unroll
+    # Hs/chunk + Wo/chunk weight-block iterations; past ~40 Mosaic stops
+    # reusing their buffers (the 480² negative: 60 iters, 59.8 MB OOM)
+    fits = (vmem_est < 11 * 1024 * 1024
+            and (Hs // chunk + Wo // chunk) <= 40 and chunk >= 8)
     if method == "auto":
         method = ("pallas" if on_tpu and aligned and fits
                   else "twopass" if on_tpu else "gather")
@@ -361,7 +368,7 @@ def warp_perspective_batch(images: jnp.ndarray, H_mats: jnp.ndarray,
                                        precision)
     if method == "pallas":
         return warp_perspective_pallas(images, H_mats, out_hw, inverse,
-                                       interpret=not on_tpu)
+                                       interpret=not on_tpu, chunk=chunk)
     if method == "gather":
         return jax.vmap(
             lambda im, hm: warp_perspective(im, hm, out_hw, inverse)

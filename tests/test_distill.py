@@ -105,6 +105,87 @@ class TestVarianceFilter:
         assert var.shape == (4,) and mp.shape == (4,)
 
 
+class TestRotationModes:
+    """The factored teacher sweep (shared axis-aligned crop + per-rotation
+    patch-space similarity warps) against the composed per-rotation
+    full-source warp: same coordinate maps, different resample factoring."""
+
+    def _patches(self, imgs, Ks, bbox, mode, num_rotations=5,
+                 rotation_range=0.52):
+        captured = {}
+
+        def capture(patches):
+            captured["p"] = patches
+            return jnp.zeros((patches.shape[0], 21, 3))
+
+        generate_filtered_labels(
+            capture, imgs, Ks, bbox, jnp.zeros(imgs.shape[0], bool),
+            jnp.full((imgs.shape[0], 21, 3), 0.4),
+            num_rotations=num_rotations, rotation_range=rotation_range,
+            rotation_mode=mode)
+        return np.asarray(captured["p"])
+
+    def _smooth_setup(self, rng, B=2, hw=256):
+        """Low-frequency image content so filter differences stay small."""
+        y, x = np.mgrid[0:hw, 0:hw] / hw
+        base = np.stack([np.sin(2 * np.pi * x) * 80 + 120,
+                         np.cos(2 * np.pi * y) * 80 + 120,
+                         (x + y) * 90 + 30], axis=-1)
+        imgs = jnp.asarray(np.stack(
+            [base + rng.rand() * 10 for _ in range(B)]), jnp.float32)
+        K = jnp.asarray([[531.9, 0., hw / 2], [0., 532.2, hw / 2],
+                         [0., 0., 1.]])
+        Ks = jnp.broadcast_to(K, (B, 3, 3))
+        # small centered boxes: the enlarged factored crop stays in-source
+        cxy = hw / 2 + rng.uniform(-8, 8, (B, 2))
+        wh = rng.uniform(60, 80, (B, 2))
+        bbox = jnp.asarray(np.concatenate([cxy, wh], 1), jnp.float32)
+        return imgs, Ks, bbox
+
+    def test_theta0_close(self, rng):
+        """With only theta = 0 both modes compute the same crop; factored
+        resamples twice (src -> finer base -> patch), so agreement is
+        filter-level, not bitwise."""
+        imgs, Ks, bbox = self._smooth_setup(rng)
+        pc = self._patches(imgs, Ks, bbox, "composed", num_rotations=1,
+                           rotation_range=0.0)
+        pf = self._patches(imgs, Ks, bbox, "factored", num_rotations=1,
+                           rotation_range=0.0)
+        assert np.abs(pf - pc).mean() < 0.5
+        assert np.abs(pf - pc).max() < 6.0
+
+    def test_factored_matches_composed_on_smooth_content(self, rng):
+        imgs, Ks, bbox = self._smooth_setup(rng)
+        pc = self._patches(imgs, Ks, bbox, "composed")
+        pf = self._patches(imgs, Ks, bbox, "factored")
+        # same maps, double vs single resample: tight mean agreement and
+        # bounded worst pixel on smooth content (0..255 scale)
+        assert np.abs(pf - pc).mean() < 0.5
+        assert np.abs(pf - pc).max() < 6.0
+
+    def test_rotated_crops_fully_covered(self, rng):
+        """The enlarged base must feed every rotated crop real content: a
+        constant source yields constant rotated patches (no zero corners)."""
+        B, hw = 1, 256
+        imgs = jnp.full((B, hw, hw, 3), 200.0, jnp.float32)
+        K = jnp.asarray([[531.9, 0., 128.], [0., 532.2, 128.],
+                         [0., 0., 1.]])
+        Ks = jnp.broadcast_to(K, (B, 3, 3))
+        # OFF-CENTRE box: rotation about the principal point sweeps the
+        # crop along an arc — the traced base box must cover it
+        bbox = jnp.asarray([[168.0, 100.0, 70.0, 70.0]])
+        pf = self._patches(imgs, Ks, bbox, "factored", num_rotations=3)
+        assert pf.min() > 199.0, float(pf.min())
+
+    def test_unknown_mode_raises(self, rng):
+        imgs, Ks, bbox = self._smooth_setup(rng)
+        try:
+            self._patches(imgs, Ks, bbox, "nope")
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
+
+
 class TestPANetTrainer:
     def test_loss_decreases(self, rng):
         pts = rng.randn(64, 21, 3).astype(np.float32) * 0.05
