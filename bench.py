@@ -11,6 +11,7 @@ Flags benchmark the other configs with the same loop-differenced rigor:
     python bench.py --config 3        # train step (augment+fwd+bwd+Adam)
     python bench.py --config 4        # two-stage detector pipeline
     python bench.py --config 5        # teacher-label generation (21 rots)
+    python bench.py --config 6        # serving two-program bound
     python bench.py --batch 256       # headline at a different batch size
     python bench.py --all             # every config, one JSON line each
 
@@ -152,6 +153,21 @@ def measure_train(batch=BATCH):
     return batch / per_batch
 
 
+def _detector_images(batch, size):
+    """Realistic benchmark scenes (synthetic hands + distractors on noisy
+    background), NOT rng noise: the proposal-NMS cost depends on how
+    clustered the near-duplicate proposals are (PERFORMANCE.md), and
+    random pixels underestimate it."""
+    import jax.numpy as jnp
+    from hand_integral_pose_estimation_tpu.detect.synthetic import (
+        make_synthetic_box_dataset,
+    )
+    ds = make_synthetic_box_dataset(
+        batch, hw=(size, size), min_size=int(size * 0.25),
+        max_size=int(size * 0.62), seed=0)
+    return jnp.asarray(ds.images.astype(np.float32))
+
+
 def measure_detector(batch=4, size=600, resnet_type=101):
     """Config #4: the full two-stage detection call (blob -> R101-C4 ->
     RPN -> NMS proposals -> ROIAlign -> head -> decode -> class NMS)."""
@@ -168,9 +184,7 @@ def measure_detector(batch=4, size=600, resnet_type=101):
     cfg = DetectorConfig(resnet_type=resnet_type, test_scale=size,
                          test_max_size=size)
     model = FasterRCNN(cfg=cfg)
-    rng = np.random.RandomState(0)
-    images = jnp.asarray(
-        rng.randint(0, 255, (batch, size, size, 3)).astype(np.float32))
+    images = _detector_images(batch, size)
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
         jnp.zeros((1, size, size, 3)))
@@ -213,8 +227,13 @@ def measure_teacher(batch=8, num_rotations=21):
     K = jnp.broadcast_to(
         jnp.asarray([[531.9, 0, 240.0], [0, 532.2, 240.0], [0, 0, 1.0]],
                     jnp.float32), (batch, 3, 3))
-    bbox = jnp.broadcast_to(jnp.asarray([240.0, 240.0, 260.0, 260.0]),
-                            (batch, 4))
+    # per-row jittered crop boxes: identical geometry across the batch
+    # would let CSE share the per-rotation warp weight build (the VPU
+    # bottleneck of this config) and flatter the number
+    jrng = np.random.RandomState(2)
+    cxy = 240.0 + jrng.uniform(-40, 40, (batch, 2))
+    wh = jrng.uniform(220, 300, (batch, 2))
+    bbox = jnp.asarray(np.concatenate([cxy, wh], axis=1).astype(np.float32))
     labelled = jnp.zeros((batch,), bool)
 
     def teacher_apply(patches):
@@ -238,6 +257,91 @@ def measure_teacher(batch=8, num_rotations=21):
         lambda n: np.asarray(gen_loop(images, joints, n)[0, 0, 0]),
         n_steps=10, reps=3)
     return batch / per_call
+
+
+def measure_serving_two_program(batch=4):
+    """Config #6: bound the monolithic TwoStagePipeline (whose single MLIR
+    the axon tunnel rejects with HTTP 413, PERFORMANCE.md) as the SUM of
+    two loop-differenced programs over the same realistic images:
+      A) detector -> square+padded crop bbox (detect_hand_crop_bbox);
+      B) bbox -> on-device crop/normalise -> pose -> fused integral ->
+         camera back-projection + bone rescale (inference.py:60-76).
+    Each program chains its iterations through a data dependency; the sum
+    over-counts only the one XLA fusion boundary the monolith would merge,
+    so it is a valid lower bound on serving throughput."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from hand_integral_pose_estimation_tpu.config import Config
+    from hand_integral_pose_estimation_tpu.data import pipeline
+    from hand_integral_pose_estimation_tpu.detect.faster_rcnn import (
+        FasterRCNN,
+    )
+    from hand_integral_pose_estimation_tpu.detect.hand_detector import (
+        detect_hand_crop_bbox,
+    )
+    from hand_integral_pose_estimation_tpu.evaluation import metrics
+    from hand_integral_pose_estimation_tpu.geometry import labels
+    from hand_integral_pose_estimation_tpu.models import get_pose_net
+    from hand_integral_pose_estimation_tpu.ops.fused_head import (
+        head_projection_integral,
+    )
+
+    cfg = Config()
+    J, D = cfg.model.num_joints, cfg.model.depth_dim
+    hw = cfg.model.input_shape
+    H = W = 224  # FreiHAND native resolution; detector blob upscales to 600
+    images = _detector_images(batch, H)
+    K = jnp.broadcast_to(
+        jnp.asarray([[531.9, 0, W / 2.0], [0, 532.2, H / 2.0], [0, 0, 1.0]],
+                    jnp.float32), (batch, 3, 3))
+    ref_len = jnp.ones((batch,), jnp.float32)
+
+    det = FasterRCNN(cfg=cfg.detector)
+    det_vars = det.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        jnp.zeros((1, H, W, 3)))
+    net = get_pose_net(cfg.model)
+    pose_vars = net.init(jax.random.PRNGKey(0), jnp.zeros((1,) + hw + (3,)))
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def detect_loop(det_vars, images, n):
+        def body(i, imgs):
+            bbox = detect_hand_crop_bbox(det, det_vars, imgs, cfg.detector,
+                                         pad_factor=cfg.augment.pad_factor)
+            return imgs + 1e-9 * jnp.sum(bbox)
+        return jax.lax.fori_loop(0, n, body, images)
+
+    bbox0 = detect_hand_crop_bbox(det, det_vars, images, cfg.detector,
+                                  pad_factor=cfg.augment.pad_factor)
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def pose_loop(pose_vars, images, bbox, n):
+        def body(i, imgs):
+            b = pipeline.make_eval_batch(
+                imgs, jnp.zeros((batch, J, 3), jnp.float32), K, bbox,
+                ref_len, cfg.augment, hw)
+            feats = net.apply(pose_vars, b.image, train=False,
+                              return_features=True)
+            Wp, bp = net.final_projection(pose_vars["params"])
+            coords = head_projection_integral(feats, Wp, bp, J, D)
+            cam = labels.patch_label_to_camera(
+                coords, b.trans_inv, b.tprime, K, R=None,
+                patch_width=hw[1], patch_height=hw[0], derotate=False)
+            cam = metrics.scale_by_ref_bone(cam, ref_len)
+            return imgs + 1e-9 * jnp.sum(cam)
+        return jax.lax.fori_loop(0, n, body, images)
+
+    t_det = _diff_timed(
+        lambda n: np.asarray(detect_loop(det_vars, images, n)[0, 0, 0]),
+        n_steps=10, reps=3)
+    t_pose = _diff_timed(
+        lambda n: np.asarray(pose_loop(pose_vars, images, bbox0, n)
+                             [0, 0, 0]),
+        n_steps=10, reps=3)
+    per_call = t_det + t_pose
+    return batch / per_call, t_det * 1e3, t_pose * 1e3
 
 
 def measure_cpu_reference() -> float:
@@ -352,7 +456,7 @@ def _cpu_baseline(force=False):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", type=int, action="append", default=None,
-                   choices=(2, 3, 4, 5))
+                   choices=(2, 3, 4, 5, 6))
     p.add_argument("--all", action="store_true")
     p.add_argument("--batch", type=int, default=BATCH)
     p.add_argument("--cpu-baseline", action="store_true",
@@ -360,7 +464,7 @@ def main():
     args = p.parse_args()
     configs = args.config or [2]
     if args.all:
-        configs = [2, 3, 4, 5]
+        configs = [2, 3, 4, 5, 6]
 
     for c in configs:
         if c == 2:
@@ -392,6 +496,14 @@ def main():
                 "metric": "teacher_label_images_per_sec_per_chip",
                 "value": round(ips, 1), "unit": "images/sec/chip",
                 "rotations": 21}))
+        elif c == 6:
+            ips, det_ms, pose_ms = measure_serving_two_program()
+            print(json.dumps({
+                "metric": "serving_two_stage_images_per_sec_per_chip",
+                "value": round(ips, 1), "unit": "images/sec/chip",
+                "detect_ms_batch4": round(det_ms, 1),
+                "pose_ms_batch4": round(pose_ms, 1),
+                "note": "two-program loop-differenced bound"}))
 
 
 if __name__ == "__main__":
