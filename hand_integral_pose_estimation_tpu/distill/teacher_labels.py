@@ -115,7 +115,7 @@ def generate_filtered_labels(
         # box is far off-centre AND large).
         cover = math.cos(rotation_range) + math.sin(rotation_range)
         sweep = 2.0 * math.sin(rotation_range / 2.0)
-        S = 352
+        S = 320
         pp = K[:, 0:2, 2]                                  # (B, 2)
         d = jnp.linalg.norm(bbox[:, 0:2] - pp, axis=-1)    # (B,)
         margin = sweep * d + 4.0
@@ -130,7 +130,7 @@ def generate_filtered_labels(
         H_patch = trans[:, None] @ rot_h @ transS_inv[:, None]
         base_rep = jnp.repeat(base, T, axis=0)
         patches = warp_perspective_batch(
-            base_rep, H_patch.reshape(B * T, 3, 3), patch_hw, chunk=16)
+            base_rep, H_patch.reshape(B * T, 3, 3), patch_hw, chunk=8)
     else:
         raise ValueError(rotation_mode)
     mean = jnp.asarray(acfg.pixel_mean, patches.dtype)

@@ -209,6 +209,70 @@ def _warp_kernel(img_ref, coef_ref, out_ref, tmp_ref, *, Hs, Ws, Ho, Wo,
         out_ref[0, oc * chunk:(oc + 1) * chunk] = outp.astype(out_ref.dtype)
 
 
+def _warp_kernel_looped(img_ref, coef_ref, out_ref, tmpA_ref, tmpB_ref, *,
+                        Hs, Ws, Ho, Wo, chunk):
+    """Two-pass warp with the chunk loops as lax.fori_loop (grid (B,)).
+
+    The unrolled kernel (`_warp_kernel`) keeps every iteration's
+    (chunk, Ws, Wo) weight block live on Mosaic's scoped-vmem stack, which
+    OOMs past ~14 iterations (measured: 36 iters = 25.4 MB vs the 16 MB
+    limit; 60 iters = 59.8 MB). Here each pass is a fori_loop whose body
+    touches refs only through dynamic slices of LEADING (untiled) dims —
+    one weight buffer live per pass, so VMEM use is independent of the
+    iteration count and big sources (352² teacher bases, 480² directly)
+    fit. Costs vs unrolled: pass A stores to an (Hs, C, Wo) scratch and
+    one in-VMEM transpose rebuilds the (Wo, C, Hs) layout pass B wants
+    (the dims it would need to slice are tiled ones).
+    """
+    a = coef_ref[0, 0, 0]
+    b = coef_ref[0, 0, 1]
+    c = coef_ref[0, 0, 2]
+    d = coef_ref[0, 0, 3]
+    e = coef_ref[0, 0, 4]
+    f = coef_ref[0, 0, 5]
+    g = coef_ref[0, 0, 6]
+    h = coef_ref[0, 0, 7]
+
+    def fiota(shape, dim):
+        return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(
+            jnp.float32)
+
+    xo = fiota((chunk, Wo), 1)
+
+    def passA(rc, carry):
+        ys = rc.astype(jnp.float32) * chunk + fiota((chunk, Wo), 0)
+        yA = (ys * g * xo + ys - d * xo - f) / (e - ys * h)
+        u = (a * xo + b * yA + c) / (g * xo + h * yA + 1.0)
+        xs = fiota((chunk, Ws, Wo), 1)
+        WaT = jnp.maximum(0.0, 1.0 - jnp.abs(xs - u[:, None, :]))
+        lhs = img_ref[0, pl.ds(rc * chunk, chunk)]            # (chunk,C,Ws)
+        part = jax.lax.dot_general(
+            lhs.astype(jnp.float32), WaT,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)               # (chunk,C,Wo)
+        tmpA_ref[pl.ds(rc * chunk, chunk)] = part
+        return carry
+
+    jax.lax.fori_loop(0, Hs // chunk, passA, 0, unroll=False)
+    tmpB_ref[:] = jnp.transpose(tmpA_ref[:], (2, 1, 0))       # (Wo, C, Hs)
+
+    def passB(oc, carry):
+        xc = oc.astype(jnp.float32) * chunk + fiota((chunk, Ho), 0)
+        yo = fiota((chunk, Ho), 1)
+        v = (d * xc + e * yo + f) / (g * xc + h * yo + 1.0)
+        vs = fiota((chunk, Hs, Ho), 1)
+        WbT = jnp.maximum(0.0, 1.0 - jnp.abs(vs - v[:, None, :]))
+        lhs = tmpB_ref[pl.ds(oc * chunk, chunk)]              # (chunk,C,Hs)
+        outp = jax.lax.dot_general(
+            lhs, WbT,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)               # (chunk,C,Ho)
+        out_ref[0, pl.ds(oc * chunk, chunk)] = outp.astype(out_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, Wo // chunk, passB, 0, unroll=False)
+
+
 def warp_perspective_pallas(images: jnp.ndarray, H_mats: jnp.ndarray,
                             out_hw: tuple[int, int],
                             inverse: bool = False,
@@ -222,12 +286,13 @@ def warp_perspective_pallas(images: jnp.ndarray, H_mats: jnp.ndarray,
     Same math and filter as :func:`warp_perspective_twopass` (with bf16 MXU
     rounding of operands, like that path's DEFAULT precision on TPU).
 
-    `chunk` is the row-block size of the in-VMEM weight tensors. It is a
-    tested but UNWIRED knob: the auto path never selects small chunks —
-    shrinking it to fit large sources (480² teacher sweeps) was tried and
-    reverted because Hs/chunk = 60 unrolled weight-block iterations defeat
-    Mosaic's buffer reuse (59.8 MB scoped-vmem compile OOM); large sources
-    dispatch to the streaming twopass instead.
+    `chunk` is the row-block size of the in-VMEM weight tensors. Two body
+    variants: fully UNROLLED chunk loops (fastest; every iteration's
+    weight block lands on Mosaic's scoped-vmem stack, OOMs past ~14
+    iterations) and fori_loop-ed (`_warp_kernel_looped`; one live weight
+    buffer per pass, VMEM independent of iteration count — this is what
+    admits 352² teacher bases and 480² sources that previously had to
+    fall back to the streaming twopass).
     """
     B, Hs, Ws, C = images.shape
     Ho, Wo = out_hw
@@ -236,6 +301,7 @@ def warp_perspective_pallas(images: jnp.ndarray, H_mats: jnp.ndarray,
     while Hs % chunk or Wo % chunk:
         chunk //= 2
     assert chunk >= 8, (Hs, Wo)
+    looped = (Hs // chunk + Wo // chunk) > 14
 
     Hi = H_mats if inverse else jnp.linalg.inv(H_mats)
     Hi = Hi / Hi[:, 2:3, 2:3]
@@ -243,9 +309,18 @@ def warp_perspective_pallas(images: jnp.ndarray, H_mats: jnp.ndarray,
 
     imgT = jnp.transpose(images.astype(jnp.float32), (0, 1, 3, 2))
 
+    if looped:
+        kernel = functools.partial(_warp_kernel_looped, Hs=Hs, Ws=Ws,
+                                   Ho=Ho, Wo=Wo, chunk=chunk)
+        scratch = [pltpu.VMEM((Hs, C, Wo), jnp.float32),
+                   pltpu.VMEM((Wo, C, Hs), jnp.float32)]
+    else:
+        kernel = functools.partial(_warp_kernel, Hs=Hs, Ws=Ws, Ho=Ho,
+                                   Wo=Wo, chunk=chunk)
+        scratch = [pltpu.VMEM((Wo, C, Hs), jnp.float32)]
+
     outT = pl.pallas_call(
-        functools.partial(_warp_kernel, Hs=Hs, Ws=Ws, Ho=Ho, Wo=Wo,
-                          chunk=chunk),
+        kernel,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, Hs, C, Ws), lambda bb: (bb, 0, 0, 0),
@@ -256,7 +331,7 @@ def warp_perspective_pallas(images: jnp.ndarray, H_mats: jnp.ndarray,
         out_specs=pl.BlockSpec((1, Wo, C, Ho), lambda bb: (bb, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Wo, C, Ho), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((Wo, C, Hs), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * B * C * Hs * Ws * Wo,
@@ -350,13 +425,19 @@ def warp_perspective_batch(images: jnp.ndarray, H_mats: jnp.ndarray,
     # sources stay on the streaming twopass path.
     while Hs % chunk or Wo % chunk:
         chunk //= 2
-    vmem_est = 4 * (chunk * Ws * Wo + Wo * C * Hs
-                    + 2 * Hs * C * Ws + 2 * Wo * C * Ho)
-    # unroll guard: the pallas kernel's per-pass Python loops unroll
-    # Hs/chunk + Wo/chunk weight-block iterations; past ~40 Mosaic stops
-    # reusing their buffers (the 480² negative: 60 iters, 59.8 MB OOM)
-    fits = (vmem_est < 11 * 1024 * 1024
-            and (Hs // chunk + Wo // chunk) <= 40 and chunk >= 8)
+    iters = Hs // chunk + Wo // chunk
+    if iters > 14:
+        # looped kernel: one live weight block (+ dot temps, est. x3) per
+        # pass, two scratch layouts, double-buffered in/out blocks — the
+        # unrolled variant's stacked weight blocks OOM past ~14 iters
+        # (measured: 36 iters = 25.4 MB, 60 iters = 59.8 MB vs 16 MB)
+        vmem_est = 4 * (3 * chunk * max(Ws * Wo, Hs * Ho)
+                        + Hs * C * Wo + Wo * C * Hs
+                        + 2 * Hs * C * Ws + 2 * Wo * C * Ho)
+    else:
+        vmem_est = 4 * (chunk * Ws * Wo + Wo * C * Hs
+                        + 2 * Hs * C * Ws + 2 * Wo * C * Ho)
+    fits = vmem_est < 11 * 1024 * 1024 and chunk >= 8
     if method == "auto":
         method = ("pallas" if on_tpu and aligned and fits
                   else "twopass" if on_tpu else "gather")

@@ -303,6 +303,34 @@ class TestPallasWarp:
                                     chunk=8)
         np.testing.assert_allclose(a, b, atol=1e-5)
 
+    def test_looped_variant_matches_twopass(self, rng):
+        """Shapes whose Hs/chunk + Wo/chunk exceeds 14 select the
+        fori_loop-ed body (`_warp_kernel_looped`, one live weight buffer —
+        the unrolled variant's stacked blocks OOM there); must equal the
+        XLA twopass exactly. 320 -> 224 at chunk=8 is the factored teacher
+        sweep's shape class."""
+        from hand_integral_pose_estimation_tpu.ops.warp import (
+            warp_perspective_batch, warp_perspective_pallas)
+        imgs = jnp.asarray(rng.rand(2, 320, 320, 3).astype(np.float32)
+                           * 255)
+        Hs = []
+        for i in range(2):
+            th = 0.3 * rng.randn()
+            H = np.eye(3)
+            H[:2, :2] = [[np.cos(th), -np.sin(th)],
+                         [np.sin(th), np.cos(th)]]
+            H[:2, 2] = rng.randn(2) * 5 + [48, 48]
+            Hs.append(H)
+        Hs = jnp.asarray(np.stack(Hs), jnp.float32)
+        want = warp_perspective_batch(imgs, Hs, (224, 224),
+                                      method="twopass",
+                                      precision=jax.lax.Precision.HIGHEST)
+        got = warp_perspective_pallas(imgs, Hs, (224, 224), interpret=True,
+                                      chunk=8)
+        # atol on the 0..255 scale: ~4e-5 px coordinate eps at 320-px
+        # source coordinates -> sub-centigray value noise
+        np.testing.assert_allclose(got, want, atol=2e-2, rtol=1e-5)
+
 
 class TestCv2Parity:
     """Direct comparison against cv2.warpPerspective — the reference's actual
