@@ -19,6 +19,7 @@ soft-argmax gradient in VMEM, and contracts it immediately:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +31,10 @@ from hand_integral_pose_estimation_tpu.ops.integral import (
     _segment_masks,
     softmax_integral,
 )
+
+# BWD recompute tile cap. 256 -> tile 224 at 56x56; measured vs 512
+# (tile 448) on TPU — see PERFORMANCE.md "fused-head BWD tile sweep".
+_BWD_MAX_TILE = int(os.environ.get("HIPE_FUSED_BWD_MAX_TILE", "256"))
 
 
 def _fwd_kernel(feat_ref, w_ref, b_ref, mask_ref, out_ref, m_out_ref,
@@ -250,7 +255,7 @@ def _hp_bwd(num_joints, depth, impl, interpret, res, cot):
                 db.astype(b.dtype))
 
     HW = H * Wd
-    tile = _pick_tile(HW, max_tile=256)
+    tile = _pick_tile(HW, max_tile=_BWD_MAX_TILE)
     f2 = feats.reshape(B, HW, F)
     vec = lambda v: v[:, None, :]
     kernel = functools.partial(_bwd_kernel, width=Wd, tile=tile)
