@@ -202,7 +202,7 @@ def measure_detector(batch=4, size=600, resnet_type=101):
     return batch / per_call, per_call * 1e3
 
 
-def measure_teacher(batch=8, num_rotations=21):
+def measure_teacher(batch=8, num_rotations=21, rotation_mode="factored"):
     """Config #5: teacher-label generation — 21-rotation batched warp +
     teacher forward + variance filter per image."""
     import functools
@@ -249,7 +249,8 @@ def measure_teacher(batch=8, num_rotations=21):
         def body(i, imgs):
             out = generate_filtered_labels(
                 teacher_apply, imgs, K, bbox, labelled, joints,
-                cfg.augment, num_rotations=num_rotations)
+                cfg.augment, num_rotations=num_rotations,
+                rotation_mode=rotation_mode)
             return imgs + 1e-9 * jnp.sum(out.joint_cam_normalized)
         return jax.lax.fori_loop(0, n, body, images)
 
@@ -461,6 +462,9 @@ def main():
     p.add_argument("--batch", type=int, default=BATCH)
     p.add_argument("--cpu-baseline", action="store_true",
                    help="re-measure the cached CPU reference")
+    p.add_argument("--rotation-mode", default="factored",
+                   choices=("factored", "composed"),
+                   help="config 5: teacher sweep warp structure")
     args = p.parse_args()
     configs = args.config or [2]
     if args.all:
@@ -491,11 +495,11 @@ def main():
                 "value": round(ips, 1), "unit": "images/sec/chip",
                 "ms_per_batch4_600px": round(ms, 1)}))
         elif c == 5:
-            ips = measure_teacher()
+            ips = measure_teacher(rotation_mode=args.rotation_mode)
             print(json.dumps({
                 "metric": "teacher_label_images_per_sec_per_chip",
                 "value": round(ips, 1), "unit": "images/sec/chip",
-                "rotations": 21}))
+                "rotations": 21, "rotation_mode": args.rotation_mode}))
         elif c == 6:
             ips, det_ms, pose_ms = measure_serving_two_program()
             print(json.dumps({

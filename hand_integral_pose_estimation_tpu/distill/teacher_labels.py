@@ -129,8 +129,10 @@ def generate_filtered_labels(
             images.astype(jnp.float32), transS, (S, S), method="affine")
         H_patch = trans[:, None] @ rot_h @ transS_inv[:, None]
         base_rep = jnp.repeat(base, T, axis=0)
+        # 320² sources run the streaming twopass: the looped Pallas body
+        # compiles here but measured slower (PERFORMANCE.md, round 3).
         patches = warp_perspective_batch(
-            base_rep, H_patch.reshape(B * T, 3, 3), patch_hw, chunk=8)
+            base_rep, H_patch.reshape(B * T, 3, 3), patch_hw)
     else:
         raise ValueError(rotation_mode)
     mean = jnp.asarray(acfg.pixel_mean, patches.dtype)

@@ -254,7 +254,17 @@ def _warp_kernel_looped(img_ref, coef_ref, out_ref, tmpA_ref, tmpB_ref, *,
         return carry
 
     jax.lax.fori_loop(0, Hs // chunk, passA, 0, unroll=False)
-    tmpB_ref[:] = jnp.transpose(tmpA_ref[:], (2, 1, 0))       # (Wo, C, Hs)
+    # Relayout (Hs, C, Wo) -> (Wo, C, Hs) as STATIC chunk-thin transposes:
+    # the monolithic jnp.transpose of the full scratch crashes the Mosaic
+    # compiler for dims >= 192 (isolated on hardware: passA/passB alone
+    # compile, the lone transpose doesn't; 160 happens to work). Static
+    # last-dim slices are fine (the unrolled kernel uses them), and each
+    # iteration's (Hs, C, chunk) temp is ~30 KB, so the stacked scoped-vmem
+    # cost that rules out unrolling the WEIGHT loops is negligible here.
+    for oc_static in range(Wo // chunk):
+        tmpB_ref[oc_static * chunk:(oc_static + 1) * chunk] = jnp.transpose(
+            tmpA_ref[:, :, oc_static * chunk:(oc_static + 1) * chunk],
+            (2, 1, 0))
 
     def passB(oc, carry):
         xc = oc.astype(jnp.float32) * chunk + fiota((chunk, Ho), 0)
@@ -290,9 +300,13 @@ def warp_perspective_pallas(images: jnp.ndarray, H_mats: jnp.ndarray,
     variants: fully UNROLLED chunk loops (fastest; every iteration's
     weight block lands on Mosaic's scoped-vmem stack, OOMs past ~14
     iterations) and fori_loop-ed (`_warp_kernel_looped`; one live weight
-    buffer per pass, VMEM independent of iteration count — this is what
-    admits 352² teacher bases and 480² sources that previously had to
-    fall back to the streaming twopass).
+    buffer per pass, VMEM independent of iteration count, so big sources
+    COMPILE — but measured SLOWER than the streaming twopass at the 320²
+    factored-teacher shape: 14.2 (chunk 16) / 17.2 (chunk 8) vs 10.0 ms
+    per 168 warps. The loop serialises the weight build (VPU) against the
+    C=3-row matmuls (2 % MXU occupancy) where XLA's twopass overlaps them
+    across images; see PERFORMANCE.md. Kept as the correct fallback for
+    shapes the unrolled body can't compile, not selected by "auto".)
     """
     B, Hs, Ws, C = images.shape
     Ho, Wo = out_hw
@@ -426,18 +440,16 @@ def warp_perspective_batch(images: jnp.ndarray, H_mats: jnp.ndarray,
     while Hs % chunk or Wo % chunk:
         chunk //= 2
     iters = Hs // chunk + Wo // chunk
-    if iters > 14:
-        # looped kernel: one live weight block (+ dot temps, est. x3) per
-        # pass, two scratch layouts, double-buffered in/out blocks — the
-        # unrolled variant's stacked weight blocks OOM past ~14 iters
-        # (measured: 36 iters = 25.4 MB, 60 iters = 59.8 MB vs 16 MB)
-        vmem_est = 4 * (3 * chunk * max(Ws * Wo, Hs * Ho)
-                        + Hs * C * Wo + Wo * C * Hs
-                        + 2 * Hs * C * Ws + 2 * Wo * C * Ho)
-    else:
-        vmem_est = 4 * (chunk * Ws * Wo + Wo * C * Hs
-                        + 2 * Hs * C * Ws + 2 * Wo * C * Ho)
-    fits = vmem_est < 11 * 1024 * 1024 and chunk >= 8
+    # "auto" only routes to the UNROLLED kernel body: past ~14 chunk
+    # iterations its stacked scoped-vmem weight blocks OOM (measured:
+    # 36 iters = 25.4 MB, 60 iters = 59.8 MB vs 16 MB), and the looped
+    # fallback body — while it compiles at any size — measured SLOWER
+    # than the streaming twopass at the 320² factored-teacher shape
+    # (14.2-17.2 vs 10.0 ms / 168 warps; PERFORMANCE.md). Forcing
+    # method="pallas" still reaches the looped body for iters > 14.
+    vmem_est = 4 * (chunk * Ws * Wo + Wo * C * Hs
+                    + 2 * Hs * C * Ws + 2 * Wo * C * Ho)
+    fits = (vmem_est < 11 * 1024 * 1024 and chunk >= 8 and iters <= 14)
     if method == "auto":
         method = ("pallas" if on_tpu and aligned and fits
                   else "twopass" if on_tpu else "gather")
