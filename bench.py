@@ -168,7 +168,7 @@ def _detector_images(batch, size):
     return jnp.asarray(ds.images.astype(np.float32))
 
 
-def measure_detector(batch=4, size=600, resnet_type=101):
+def measure_detector(batch=4, size=600, resnet_type=101, proposals=None):
     """Config #4: the full two-stage detection call (blob -> R101-C4 ->
     RPN -> NMS proposals -> ROIAlign -> head -> decode -> class NMS)."""
     import functools
@@ -181,8 +181,10 @@ def measure_detector(batch=4, size=600, resnet_type=101):
     )
     from hand_integral_pose_estimation_tpu.detect.hand_detector import detect
 
+    kw = {} if proposals is None else dict(
+        rpn_post_nms_top_n_test=proposals)
     cfg = DetectorConfig(resnet_type=resnet_type, test_scale=size,
-                         test_max_size=size)
+                         test_max_size=size, **kw)
     model = FasterRCNN(cfg=cfg)
     images = _detector_images(batch, size)
     variables = model.init(
@@ -260,7 +262,7 @@ def measure_teacher(batch=8, num_rotations=21, rotation_mode="factored"):
     return batch / per_call
 
 
-def measure_serving_two_program(batch=4):
+def measure_serving_two_program(batch=4, proposals=None):
     """Config #6: bound the monolithic TwoStagePipeline (whose single MLIR
     the axon tunnel rejects with HTTP 413, PERFORMANCE.md) as the SUM of
     two loop-differenced programs over the same realistic images:
@@ -289,7 +291,12 @@ def measure_serving_two_program(batch=4):
         head_projection_integral,
     )
 
+    import dataclasses
+
     cfg = Config()
+    if proposals is not None:
+        cfg = dataclasses.replace(cfg, detector=dataclasses.replace(
+            cfg.detector, rpn_post_nms_top_n_test=proposals))
     J, D = cfg.model.num_joints, cfg.model.depth_dim
     hw = cfg.model.input_shape
     H = W = 224  # FreiHAND native resolution; detector blob upscales to 600
@@ -465,6 +472,9 @@ def main():
     p.add_argument("--rotation-mode", default="factored",
                    choices=("factored", "composed"),
                    help="config 5: teacher sweep warp structure")
+    p.add_argument("--proposals", type=int, default=None,
+                   help="config 4: override rpn_post_nms_top_n_test "
+                   "(serving knob; default keeps reference parity at 300)")
     args = p.parse_args()
     configs = args.config or [2]
     if args.all:
@@ -489,11 +499,14 @@ def main():
                 "value": round(ips, 1), "unit": "images/sec/chip",
                 "batch": args.batch}))
         elif c == 4:
-            ips, ms = measure_detector()
-            print(json.dumps({
+            ips, ms = measure_detector(proposals=args.proposals)
+            out = {
                 "metric": "detector_two_stage_images_per_sec_per_chip",
                 "value": round(ips, 1), "unit": "images/sec/chip",
-                "ms_per_batch4_600px": round(ms, 1)}))
+                "ms_per_batch4_600px": round(ms, 1)}
+            if args.proposals is not None:
+                out["proposals"] = args.proposals
+            print(json.dumps(out))
         elif c == 5:
             ips = measure_teacher(rotation_mode=args.rotation_mode)
             print(json.dumps({
@@ -501,13 +514,17 @@ def main():
                 "value": round(ips, 1), "unit": "images/sec/chip",
                 "rotations": 21, "rotation_mode": args.rotation_mode}))
         elif c == 6:
-            ips, det_ms, pose_ms = measure_serving_two_program()
-            print(json.dumps({
+            ips, det_ms, pose_ms = measure_serving_two_program(
+                proposals=args.proposals)
+            out = {
                 "metric": "serving_two_stage_images_per_sec_per_chip",
                 "value": round(ips, 1), "unit": "images/sec/chip",
                 "detect_ms_batch4": round(det_ms, 1),
                 "pose_ms_batch4": round(pose_ms, 1),
-                "note": "two-program loop-differenced bound"}))
+                "note": "two-program loop-differenced bound"}
+            if args.proposals is not None:
+                out["proposals"] = args.proposals
+            print(json.dumps(out))
 
 
 if __name__ == "__main__":
