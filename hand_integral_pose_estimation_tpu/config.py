@@ -163,6 +163,17 @@ class DetectorConfig:
     roi_bg_thresh_hi: float = 0.5
     roi_bg_thresh_lo: float = 0.1
 
+    def serving(self, proposals: int = 64) -> "DetectorConfig":
+        """The measured single-hand serving setting: the defaults keep the
+        reference's 300 post-NMS proposals (TEST.RPN_POST_NMS_TOP_N,
+        config_rcnn.py) for parity, but for single-hand scenes the RoI tail
+        then runs ~97 % padding rows. Post-NMS top-64 keeps any
+        confidently-detected hand and measures 13.6 vs 19.0 ms/batch-4
+        (detect) and 313 vs 222 img/s (two-stage serving bound) on v5e;
+        the convergence study's AP 0.98 evaluation also runs at 64
+        (PERFORMANCE.md "Proposal-count serving knob")."""
+        return dataclasses.replace(self, rpn_post_nms_top_n_test=proposals)
+
 
 @dataclasses.dataclass(frozen=True)
 class PANetConfig:

@@ -381,6 +381,20 @@ class TestFasterRCNN:
         for k, v in out.losses.items():
             assert np.isfinite(float(v)), k
 
+    def test_serving_preset_shrinks_roi_tail(self, tiny_detector, rng):
+        # DetectorConfig.serving(): identical params tree, only the
+        # test-time post-NMS proposal count changes (PERFORMANCE.md
+        # "Proposal-count serving knob")
+        model, variables, cfg = tiny_detector
+        scfg = cfg.serving(8)
+        assert scfg.rpn_post_nms_top_n_test == 8
+        assert scfg.rpn_post_nms_top_n_train == cfg.rpn_post_nms_top_n_train
+        assert DetectorConfig().serving().rpn_post_nms_top_n_test == 64
+        img = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32) * 255)
+        out = FasterRCNN(cfg=scfg).apply(variables, img, train=False)
+        assert out.rois.shape == (1, 8, 4)
+        assert out.cls_scores.shape == (1, 8, 2)
+
     def test_detect_facade(self, tiny_detector, rng):
         model, variables, cfg = tiny_detector
         img = jnp.asarray(rng.randint(0, 255, (2, 64, 64, 3)), jnp.uint8)
