@@ -74,6 +74,9 @@ def main(argv=None):
         FreiHandDataset,
         SyntheticFreiHand,
     )
+    from hand_integral_pose_estimation_tpu.detect.load import (
+        default_resnet_style,
+    )
     from hand_integral_pose_estimation_tpu.evaluation import (
         evaluate_challenge,
     )
@@ -91,9 +94,8 @@ def main(argv=None):
         detector=dataclasses.replace(
             cfg.detector, resnet_type=args.detector_resnet,
             norm=args.detector_norm,
-            resnet_style=args.detector_style or (
-                "caffe" if (args.detector_ckpt or "")
-                .endswith((".pth", ".pt")) else "torchvision"),
+            resnet_style=args.detector_style or default_resnet_style(
+                args.detector_ckpt),
             freeze_bn=args.detector_norm == "batch",
             test_scale=args.detector_scale,
             test_max_size=(cfg.detector.test_max_size

@@ -101,6 +101,9 @@ def main(argv=None):
         FreiHandDataset,
         SyntheticFreiHand,
     )
+    from hand_integral_pose_estimation_tpu.detect.load import (
+        default_resnet_style,
+    )
     from hand_integral_pose_estimation_tpu.training import Trainer
 
     cfg = Config()
@@ -113,9 +116,8 @@ def main(argv=None):
             cfg, train=dataclasses.replace(cfg.train, lam=args.lam))
     if args.training_size:
         cfg = cfg.with_training_size(args.training_size)
-    det_style = args.detector_style or (
-        "caffe" if (args.detector_ckpt or "").endswith((".pth", ".pt"))
-        else cfg.detector.resnet_style)
+    det_style = args.detector_style or default_resnet_style(
+        args.detector_ckpt, fallback=cfg.detector.resnet_style)
     if (args.detector_norm != "batch" or args.detector_resnet
             or det_style != cfg.detector.resnet_style):
         cfg = dataclasses.replace(cfg, detector=dataclasses.replace(
@@ -201,18 +203,35 @@ def main(argv=None):
     if args.mesh == "auto":
         auto_mesh = True
     elif args.mesh not in ("none", "1"):
-        # explicit 'data=N,model=M' layout
+        # explicit layout: 'data=N,model=M', either axis alone (the other
+        # is inferred from the visible device count), over a PREFIX of the
+        # devices when N*M is smaller than the host
         import jax
 
         from hand_integral_pose_estimation_tpu.parallel import make_mesh
-        spec = dict(kv.split("=") for kv in args.mesh.split(","))
-        data_n = int(spec.get("data", 0))
-        model_par = int(spec.get("model", 1))
-        if data_n * model_par != len(jax.devices()):
+        spec = {}
+        for kv in args.mesh.split(","):
+            key, eq, val = kv.partition("=")
+            if not eq or key not in ("data", "model") \
+                    or not val.isdigit() or int(val) < 1:
+                raise SystemExit(
+                    f"--mesh {args.mesh!r}: expected "
+                    "'auto', 'none', or 'data=N[,model=M]' "
+                    f"(bad token {kv!r})")
+            spec[key] = int(val)
+        n_dev = len(jax.devices())
+        model_par = spec.get("model", 1)
+        data_n = spec.get("data", n_dev // model_par)
+        if data_n < 1:
+            raise SystemExit(
+                f"--mesh {args.mesh}: model={model_par} leaves no devices "
+                f"for the data axis ({n_dev} visible)")
+        if data_n * model_par > n_dev:
             raise SystemExit(
                 f"--mesh {args.mesh} needs {data_n * model_par} devices, "
-                f"{len(jax.devices())} visible")
-        mesh = make_mesh(model_parallelism=model_par)
+                f"{n_dev} visible")
+        mesh = make_mesh(model_parallelism=model_par,
+                         devices=jax.devices()[:data_n * model_par])
 
     trainer = Trainer(cfg=cfg, dataset=dataset, model_dir=args.model_dir,
                       log_dir=args.log_dir,

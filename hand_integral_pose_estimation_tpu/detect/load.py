@@ -19,6 +19,17 @@ from hand_integral_pose_estimation_tpu.config import DetectorConfig
 from hand_integral_pose_estimation_tpu.detect.faster_rcnn import FasterRCNN
 
 
+def default_resnet_style(ckpt_path: Optional[str],
+                         fallback: str = "torchvision") -> str:
+    """Default ResNet block variant for a detector checkpoint path: a torch
+    `.pth`/`.pt` implies the reference's jwyang layout whose weights require
+    "caffe" blocks (stride on the first 1x1 conv + ceil-mode stem pool,
+    faster_rcnn/resnet.py:67-80); orbax dirs keep `fallback`. The single
+    source of the heuristic for every CLI (`--detector-style` overrides)."""
+    return ("caffe" if (ckpt_path or "").endswith((".pth", ".pt"))
+            else fallback)
+
+
 def build_detector(det_cfg: DetectorConfig,
                    ckpt_path: Optional[str] = None,
                    seed: int = 0,

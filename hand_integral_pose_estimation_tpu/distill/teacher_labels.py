@@ -113,14 +113,22 @@ def generate_filtered_labels(
         # are traced — only the S x S raster is static; per-sample pixel
         # density adapts (slightly coarser than the patch only when the
         # box is far off-centre AND large).
-        cover = math.cos(rotation_range) + math.sin(rotation_range)
+        cov_c = math.cos(rotation_range)
+        cov_s = math.sin(rotation_range)
         sweep = 2.0 * math.sin(rotation_range / 2.0)
         S = 320
         pp = K[:, 0:2, 2]                                  # (B, 2)
         d = jnp.linalg.norm(bbox[:, 0:2] - pp, axis=-1)    # (B,)
         margin = sweep * d + 4.0
-        wS = cover * bbox[:, 2] * acfg.scale + 2.0 * margin
-        hS = cover * bbox[:, 3] * acfg.scale + 2.0 * margin
+        # axis-aligned cover of a w x h rect rotated by up to the range:
+        # each axis needs its own extent times cos PLUS the OTHER axis
+        # times sin (exact; reduces to (cos+sin)·w for the square boxes
+        # the in-tree pipelines produce, but generate_filtered_labels
+        # accepts arbitrary boxes)
+        w_sc = bbox[:, 2] * acfg.scale
+        h_sc = bbox[:, 3] * acfg.scale
+        wS = cov_c * w_sc + cov_s * h_sc + 2.0 * margin
+        hS = cov_c * h_sc + cov_s * w_sc + 2.0 * margin
         transS = transforms.trans_from_patch(
             bbox[:, 0], bbox[:, 1], wS, hS, S, S)          # (B, 3, 3)
         transS_inv = transforms.trans_from_patch(

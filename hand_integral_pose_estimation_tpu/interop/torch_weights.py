@@ -273,7 +273,12 @@ def load_torch_state_dict(path: str) -> Dict[str, Any]:
     (hand_detector.py:136-142)."""
     import torch  # local import: converters stay importable without torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    # weights_only=True: these are EXTERNALLY-sourced checkpoints (model-zoo
+    # downloads, the reference's faster_rcnn_*.pth) and full unpickling
+    # would execute arbitrary code from a tampered file. The reference's
+    # envelope ({"model": state_dict, "pooling_mode": str, ...}) is tensors
+    # and primitives only, which the weights-only unpickler accepts.
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
     if isinstance(ckpt, dict) and "model" in ckpt \
             and isinstance(ckpt["model"], dict):
         return ckpt["model"]

@@ -107,11 +107,23 @@ def shard_batch(mesh: Mesh, batch, data_axis: str = "data"):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
 
 
+def _leaf_spec(path, leaf, model_size: int, model_axis: str) -> P:
+    """THE sharding policy, in one place: everything replicated except the
+    final heatmap projection's tensors — kernel (1, 1, C_in, C_out) / bias
+    (C_out,) — whose output channels (num_joints * depth = 1176) shard over
+    `model`. Matching is by tree path ("final" module scope), so it applies
+    equally to params and to optimizer moments (optax state mirrors the
+    param tree)."""
+    names = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
+    if (model_size > 1 and "final" in names
+            and getattr(leaf, "ndim", 0) >= 1
+            and leaf.shape[-1] % model_size == 0):
+        return P(*([None] * (leaf.ndim - 1) + [model_axis]))
+    return P()
+
+
 def place_state(mesh: Mesh, state, model_axis: str = "model"):
-    """Device-put a whole TrainState onto the mesh: every leaf replicated
-    except the final heatmap projection's tensors (params AND their Adam
-    moments — optax state mirrors the param tree, so the same path rule
-    applies), whose output channels shard over `model`.
+    """Device-put a whole TrainState onto the mesh per `_leaf_spec`.
 
     One explicit placement at init keeps every subsequent step resharding-
     free; without it each step would re-shard the moments from the default
@@ -120,13 +132,7 @@ def place_state(mesh: Mesh, state, model_axis: str = "model"):
     model_size = mesh.shape[model_axis]
 
     def put(path, leaf):
-        names = [getattr(k, "key", getattr(k, "name", str(k)))
-                 for k in path]
-        spec = P()
-        if (model_size > 1 and "final" in names
-                and getattr(leaf, "ndim", 0) >= 1
-                and leaf.shape[-1] % model_size == 0):
-            spec = P(*([None] * (leaf.ndim - 1) + [model_axis]))
+        spec = _leaf_spec(path, leaf, model_size, model_axis)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(put, state)
@@ -134,22 +140,9 @@ def place_state(mesh: Mesh, state, model_axis: str = "model"):
 
 def param_sharding_rules(mesh: Mesh, params,
                          model_axis: str = "model"):
-    """Replicate everything except the final heatmap projection, whose output
-    channels (num_joints * depth = 1176) shard over `model`.
-
-    Returns a pytree of NamedShardings matching `params`.
-    """
+    """Pytree of NamedShardings matching `params`, per `_leaf_spec`."""
     model_size = mesh.shape[model_axis]
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    treedef = jax.tree_util.tree_structure(params)
-
-    shardings = []
-    for path, leaf in flat:
-        names = [getattr(k, "key", str(k)) for k in path]
-        spec = P()
-        if model_size > 1 and "final" in names:
-            # kernel (1, 1, C_in, C_out) / bias (C_out,): shard C_out
-            if leaf.ndim >= 1 and leaf.shape[-1] % model_size == 0:
-                spec = P(*([None] * (leaf.ndim - 1) + [model_axis]))
-        shardings.append(NamedSharding(mesh, spec))
-    return jax.tree_util.tree_unflatten(treedef, shardings)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(
+            mesh, _leaf_spec(path, leaf, model_size, model_axis)),
+        params)

@@ -135,10 +135,35 @@ class Trainer:
                                   or self.model_parallelism > 1) \
                 and jax.device_count() > 1:
             from hand_integral_pose_estimation_tpu.parallel import (
-                make_multihost_mesh,
+                make_mesh, make_multihost_mesh,
             )
-            self.mesh = make_multihost_mesh(
-                model_parallelism=self.model_parallelism)
+            mp = self.model_parallelism
+            data_n = jax.device_count() // mp
+            if self.cfg.train.batch_size % max(data_n, 1) == 0:
+                self.mesh = make_multihost_mesh(model_parallelism=mp)
+            elif jax.process_count() == 1:
+                # auto mode adapts instead of erroring: largest data-axis
+                # size that divides the batch (an explicit mesh=/--mesh
+                # layout still raises below — the user asked for it)
+                data_n = next(d for d in range(data_n, 0, -1)
+                              if self.cfg.train.batch_size % d == 0)
+                if data_n * mp > 1:
+                    self.mesh = make_mesh(
+                        model_parallelism=mp,
+                        devices=jax.devices()[:data_n * mp])
+                    self.logger.info(
+                        "auto mesh: batch %d not divisible by %d devices; "
+                        "using %d", self.cfg.train.batch_size,
+                        jax.device_count(), data_n * mp)
+                else:
+                    self.logger.info(
+                        "auto mesh: batch %d has no usable data-axis split "
+                        "over %d devices; training single-device",
+                        self.cfg.train.batch_size, jax.device_count())
+            else:
+                raise ValueError(
+                    f"batch_size {self.cfg.train.batch_size} must divide "
+                    f"by the multi-host data-axis size {data_n}")
         if self.mesh is not None:
             from hand_integral_pose_estimation_tpu.parallel import (
                 place_state, process_batch_size,
@@ -262,7 +287,15 @@ class Trainer:
     def run_epoch(self, epoch: int, num_steps: Optional[int] = None,
                   log_every: int = 20) -> dict:
         num_steps = num_steps or self.steps_per_epoch
-        rng = np.random.RandomState(self.seed * 100003 + epoch)
+        # fold the process index into the HOST-side sampling stream: each
+        # host feeds a distinct local slice of the global batch, so with a
+        # shared seed every host would sample the SAME records and the
+        # "global batch" would be n_proc duplicated copies. The jax `key`
+        # below stays process-independent on purpose — it parameterises the
+        # single logical sharded program (per-sample augmentation noise is
+        # drawn on device from per-row folds).
+        rng = np.random.RandomState(
+            self.seed * 100003 + epoch + 1000003 * jax.process_index())
         key = jax.random.PRNGKey(self.seed * 131 + epoch)
         last_metrics = {}
         k = max(1, self.scan_steps)

@@ -177,6 +177,20 @@ class TestRotationModes:
         pf = self._patches(imgs, Ks, bbox, "factored", num_rotations=3)
         assert pf.min() > 199.0, float(pf.min())
 
+    def test_rotated_crops_covered_non_square_bbox(self, rng):
+        """Tall/wide boxes need the CROSS term in the base cover (w·cosθ +
+        h·sinθ per axis): with the square-only formula a 56x96 box read
+        zeros at the patch corners under rotation."""
+        B, hw = 2, 256
+        imgs = jnp.full((B, hw, hw, 3), 200.0, jnp.float32)
+        K = jnp.asarray([[531.9, 0., 128.], [0., 532.2, 128.],
+                         [0., 0., 1.]])
+        Ks = jnp.broadcast_to(K, (B, 3, 3))
+        bbox = jnp.asarray([[150.0, 110.0, 56.0, 96.0],
+                            [100.0, 150.0, 96.0, 56.0]])
+        pf = self._patches(imgs, Ks, bbox, "factored", num_rotations=3)
+        assert pf.min() > 199.0, float(pf.min())
+
     def test_unknown_mode_raises(self, rng):
         imgs, Ks, bbox = self._smooth_setup(rng)
         try:

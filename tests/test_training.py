@@ -212,19 +212,32 @@ class TestTrainerMesh:
         )
         _save(t.model_dir, t.state, 0)
 
-    def test_indivisible_batch_raises(self):
+    def test_indivisible_batch_adapts_auto_but_raises_explicit(self):
+        """auto mesh ADAPTS to an indivisible batch (largest data-axis size
+        dividing it — batch 5 on 8 devices trains over data=5, batch 3 over
+        data=3), so pre-existing CLI invocations keep working on multi-
+        device hosts; an EXPLICIT mesh still raises (the user pinned the
+        layout)."""
         import pytest
-        cfg = Config(
-            model=ModelConfig(resnet_type=18, input_shape=(32, 32),
-                              output_shape=(8, 8), depth_dim=8,
-                              compute_dtype="float32"),
-            train=TrainConfig(batch_size=5, lr=1e-3),
-        )
+
+        def mk(batch, **kw):
+            cfg = Config(
+                model=ModelConfig(resnet_type=18, input_shape=(32, 32),
+                                  output_shape=(8, 8), depth_dim=8,
+                                  compute_dtype="float32"),
+                train=TrainConfig(batch_size=batch, lr=1e-3),
+            )
+            return Trainer(cfg=cfg,
+                           dataset=SyntheticFreiHand(n=8, image_hw=(32, 32)),
+                           model_dir=tempfile.mkdtemp(),
+                           integral_impl="xla", **kw)
+
+        t = mk(5, auto_mesh=True)
+        assert t.mesh is not None and t.mesh.shape["data"] == 5
+        assert np.isfinite(t.run_epoch(0, num_steps=1)["loss"])
+        from hand_integral_pose_estimation_tpu.parallel import make_mesh
         with pytest.raises(ValueError, match="divide"):
-            Trainer(cfg=cfg, dataset=SyntheticFreiHand(n=8,
-                                                       image_hw=(32, 32)),
-                    model_dir=tempfile.mkdtemp(), integral_impl="xla",
-                    auto_mesh=True)
+            mk(5, mesh=make_mesh())
 
 
 class TestMultihostMesh:
