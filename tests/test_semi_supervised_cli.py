@@ -98,3 +98,49 @@ def test_semi_supervised_pipeline(tmp_path):
                                                      "model_best"),
                         "--lam", "0.1"])
     assert os.path.exists(os.path.join(student_dir, "snapshot_0"))
+
+
+def test_study_subset_view():
+    """subset_view: per-sample arrays sliced consistently, labelled mask
+    override, counts recomputed."""
+    import numpy as np
+
+    from hand_integral_pose_estimation_tpu.cli.semi_supervised_study import (
+        subset_view,
+    )
+    from hand_integral_pose_estimation_tpu.data.freihand import (
+        SyntheticFreiHand,
+    )
+
+    ds = SyntheticFreiHand(n=12, image_hw=(32, 32), seed=5)
+    idx = np.asarray([1, 3, 5, 7])
+    sub = subset_view(ds, idx, np.asarray([True, False, True, False]))
+    assert sub.n == 4 and len(sub) == 4
+    assert sub.num_labelled == 2 and sub.num_unlabelled == 2
+    np.testing.assert_array_equal(sub.images, ds.images[idx])
+    np.testing.assert_array_equal(sub.joint_cam, ds.joint_cam[idx])
+    np.testing.assert_array_equal(sub.ref_bone_len, ds.ref_bone_len[idx])
+    b = sub.host_batch(np.asarray([0, 2]))
+    np.testing.assert_array_equal(b["image"], ds.images[[1, 5]])
+    assert b["labelled"].tolist() == [True, True]
+    # original untouched
+    assert ds.n == 12 and ds.images.shape[0] == 12
+
+
+@run_slow
+def test_study_tiny_end_to_end(tmp_path):
+    """The three-arm study runs end-to-end at toy scale and reports the
+    summary record (numbers are meaningless at these step counts — this
+    drives the mechanics: teacher fit/snapshot, make_frozen_teacher,
+    per-arm Tester/evaluate)."""
+    from hand_integral_pose_estimation_tpu.cli.semi_supervised_study import (
+        main,
+    )
+
+    results = main(["--n", "12", "--labelled", "4", "--test-n", "6",
+                    "--teacher-steps", "2", "--student-steps", "2",
+                    "--batch-size", "4", "--pose-resnet", "18",
+                    "--pose-input", "32"])
+    assert set(results) == {"teacher", "baseline", "distilled"}
+    for rec in results.values():
+        assert rec["mpjpe"] > 0 and rec["pa_mpjpe"] > 0
