@@ -78,7 +78,6 @@ def main(argv=None):
     args = build_argparser().parse_args(argv)
     import dataclasses
 
-    import jax
     import numpy as np
 
     from hand_integral_pose_estimation_tpu.config import Config
