@@ -50,7 +50,7 @@ def study_config(hw, resnet_type: int = 18) -> DetectorConfig:
 def run_study(train_n: int = 128, val_n: int = 32, hw=(224, 224),
               steps: int = 600, batch: int = 8, eval_every: int = 100,
               lr: float = 2e-3, resnet_type: int = 18, seed: int = 0,
-              flip: bool = True, log=print) -> dict:
+              flip: bool = True, proposal_sweep=(), log=print) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -127,8 +127,31 @@ def run_study(train_n: int = 128, val_n: int = 32, hw=(224, 224),
                    "elapsed_s": round(time.perf_counter() - t0, 1)}
             history.append(rec)
             log(json.dumps(rec))
-    return {"history": history, "final_ap": history[-1]["ap"],
-            "best_ap": max(h["ap"] for h in history), "state": state}
+    result = {"history": history, "final_ap": history[-1]["ap"],
+              "best_ap": max(h["ap"] for h in history), "state": state}
+    if proposal_sweep:
+        # same checkpoint, varying ONLY the test-time post-NMS proposal
+        # count — direct evidence for the serving knob (PERFORMANCE.md
+        # "Proposal-count serving knob"): detection AP should be flat from
+        # 300 down to well below the study default of 64
+        import dataclasses as _dc
+        sweep = {}
+        for n_prop in proposal_sweep:
+            vcfg = _dc.replace(cfg, rpn_post_nms_top_n_test=n_prop)
+            vdet = jax.jit(lambda v, imgs, m=FasterRCNN(cfg=vcfg), c=vcfg:
+                           detect(m, v, imgs, c))
+            dets = vdet({"params": state.params,
+                         "batch_stats": state.batch_stats}, val_images)
+            boxes, scores, valid = (np.asarray(dets.boxes),
+                                    np.asarray(dets.scores),
+                                    np.asarray(dets.valid))
+            db = [boxes[i][valid[i]] for i in range(val_n)]
+            ds = [scores[i][valid[i]] for i in range(val_n)]
+            sweep[n_prop] = round(
+                float(evaluate_detections(db, ds, val.gt_boxes)["ap"]), 4)
+            log(json.dumps({"proposal_sweep": n_prop, "ap": sweep[n_prop]}))
+        result["proposal_sweep"] = sweep
+    return result
 
 
 def main(argv=None):
@@ -143,15 +166,22 @@ def main(argv=None):
     p.add_argument("--resnet", type=int, default=18)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-flip", action="store_true")
+    p.add_argument("--proposal-sweep", type=int, nargs="*", default=(),
+                   help="after training, re-evaluate AP of the SAME "
+                        "checkpoint at these post-NMS proposal counts "
+                        "(serving-knob quality evidence)")
     args = p.parse_args(argv)
 
     result = run_study(train_n=args.train_n, val_n=args.val_n,
                        hw=(args.size, args.size), steps=args.steps,
                        batch=args.batch, eval_every=args.eval_every,
                        lr=args.lr, resnet_type=args.resnet, seed=args.seed,
-                       flip=not args.no_flip)
-    print(json.dumps({"final_ap": result["final_ap"],
-                      "best_ap": result["best_ap"]}))
+                       flip=not args.no_flip,
+                       proposal_sweep=tuple(args.proposal_sweep))
+    out = {"final_ap": result["final_ap"], "best_ap": result["best_ap"]}
+    if "proposal_sweep" in result:
+        out["proposal_sweep"] = result["proposal_sweep"]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

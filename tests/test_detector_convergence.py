@@ -107,7 +107,12 @@ def test_mini_convergence_ap_rises():
         run_study,
     )
     r = run_study(train_n=24, val_n=8, hw=(112, 112), steps=60, batch=4,
-                  eval_every=20, seed=0)
+                  eval_every=20, seed=0, proposal_sweep=(64, 16))
     aps = [h["ap"] for h in r["history"]]
     assert r["best_ap"] > aps[0] or aps[0] > 0.3
     assert r["best_ap"] > 0.05
+    # same-checkpoint AP at reduced post-NMS proposal counts (the serving
+    # knob): finite and recorded for both settings; 64 is the study default
+    # so it must agree with the final history AP
+    assert set(r["proposal_sweep"]) == {64, 16}
+    assert r["proposal_sweep"][64] == r["final_ap"]
