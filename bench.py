@@ -19,19 +19,39 @@ All device measurements chain iterations through a data dependency inside a
 device-side `lax.fori_loop`, timed at two loop lengths and differenced —
 this cancels the axon tunnel's ~35 ms/call RPC latency and defeats both its
 identical-computation caching and XLA dead-code elimination (see CLAUDE.md).
+
+Outage handling (the tunnel's two documented failure modes are an
+`UNAVAILABLE` error and an indefinite HANG at backend init): by default the
+parent process never touches the device itself. It probes the backend in a
+subprocess under a hard timeout (bounded retries), runs each measurement in
+its own watchdog subprocess (`--raw`), and on any failure prints the
+last-known-good record for that metric from `.bench_lkg.json` with
+`"stale": true` and the outage noted — exit code 0, always one parsable
+JSON line per requested config. Every successful measurement refreshes the
+cache. `--raw` bypasses all of this (direct in-process measurement).
 """
 
 import argparse
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
-_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                      ".bench_cpu_baseline.json")
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_CACHE = os.path.join(_HERE, ".bench_cpu_baseline.json")
+_LKG = os.path.join(_HERE, ".bench_lkg.json")
 BATCH = 32
 STEPS = 20
+
+# Watchdog knobs (seconds / counts); env-overridable for tests and for
+# driver environments with slower tunnels.
+PROBE_TIMEOUT = float(os.environ.get("HIPE_BENCH_PROBE_TIMEOUT", 240))
+PROBE_RETRIES = int(os.environ.get("HIPE_BENCH_PROBE_RETRIES", 3))
+PROBE_RETRY_SLEEP = float(os.environ.get("HIPE_BENCH_PROBE_SLEEP", 45))
+MEASURE_TIMEOUT = float(os.environ.get("HIPE_BENCH_MEASURE_TIMEOUT", 2400))
 
 
 def _pose_inputs(batch):
@@ -461,7 +481,7 @@ def _cpu_baseline(force=False):
         return json.load(f)["cpu_images_per_sec"]
 
 
-def main():
+def _parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config", type=int, action="append", default=None,
                    choices=(2, 3, 4, 5, 6))
@@ -475,57 +495,231 @@ def main():
     p.add_argument("--proposals", type=int, default=None,
                    help="config 4: override rpn_post_nms_top_n_test "
                    "(serving knob; default keeps reference parity at 300)")
-    args = p.parse_args()
+    p.add_argument("--raw", action="store_true",
+                   help="measure in-process with no watchdog (the guarded "
+                   "parent invokes this in a subprocess)")
+    return p.parse_args(argv)
+
+
+def _run_raw_config(c, args):
+    """Measure one config in-process and print its JSON line."""
+    if c == 2:
+        # the CPU torch+cv2 reference baseline is only the headline's
+        # comparison point — don't pay for it on configs 3-5
+        cpu_ips = _cpu_baseline(force=args.cpu_baseline)
+        ips = measure_inference(args.batch)
+        print(json.dumps({
+            "metric": "freihand_e2e_inference_images_per_sec_per_chip",
+            "value": round(ips, 1),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(ips / cpu_ips, 2),
+        }))
+    elif c == 3:
+        ips = measure_train(args.batch)
+        print(json.dumps({
+            "metric": "freihand_train_images_per_sec_per_chip",
+            "value": round(ips, 1), "unit": "images/sec/chip",
+            "batch": args.batch}))
+    elif c == 4:
+        ips, ms = measure_detector(proposals=args.proposals)
+        out = {
+            "metric": "detector_two_stage_images_per_sec_per_chip",
+            "value": round(ips, 1), "unit": "images/sec/chip",
+            "ms_per_batch4_600px": round(ms, 1)}
+        if args.proposals is not None:
+            out["proposals"] = args.proposals
+        print(json.dumps(out))
+    elif c == 5:
+        ips = measure_teacher(rotation_mode=args.rotation_mode)
+        print(json.dumps({
+            "metric": "teacher_label_images_per_sec_per_chip",
+            "value": round(ips, 1), "unit": "images/sec/chip",
+            "rotations": 21, "rotation_mode": args.rotation_mode}))
+    elif c == 6:
+        ips, det_ms, pose_ms = measure_serving_two_program(
+            proposals=args.proposals)
+        out = {
+            "metric": "serving_two_stage_images_per_sec_per_chip",
+            "value": round(ips, 1), "unit": "images/sec/chip",
+            "detect_ms_batch4": round(det_ms, 1),
+            "pose_ms_batch4": round(pose_ms, 1),
+            "note": "two-program loop-differenced bound"}
+        if args.proposals is not None:
+            out["proposals"] = args.proposals
+        print(json.dumps(out))
+
+
+# ---------------------------------------------------------------------------
+# Outage-proof guarded driver path
+# ---------------------------------------------------------------------------
+
+_METRIC_BY_CONFIG = {
+    2: "freihand_e2e_inference_images_per_sec_per_chip",
+    3: "freihand_train_images_per_sec_per_chip",
+    4: "detector_two_stage_images_per_sec_per_chip",
+    5: "teacher_label_images_per_sec_per_chip",
+    6: "serving_two_stage_images_per_sec_per_chip",
+}
+
+_PROBE_SRC = (
+    "import jax, jax.numpy as jnp;"
+    "print('HIPE_PROBE_OK', float(jnp.sum(jnp.ones((128, 128)))))"
+)
+
+
+def _load_lkg():
+    try:
+        with open(_LKG) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _store_lkg(record):
+    lkg = _load_lkg()
+    entry = dict(record)
+    entry["captured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    lkg[record["metric"]] = entry
+    tmp = _LKG + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(lkg, f, indent=1, sort_keys=True)
+    os.replace(tmp, _LKG)
+
+
+def _probe_cmd():
+    # Test seam: HIPE_BENCH_SIMULATE_OUTAGE genuinely exercises the hang
+    # (sleep past the timeout) / error paths without touching the backend.
+    sim = os.environ.get("HIPE_BENCH_SIMULATE_OUTAGE")
+    if sim == "hang":
+        return [sys.executable, "-c", "import time; time.sleep(10**6)"]
+    if sim == "error":
+        return [sys.executable, "-c",
+                "raise SystemExit('UNAVAILABLE: simulated')"]
+    return [sys.executable, "-c", _PROBE_SRC]
+
+
+def _tpu_alive():
+    """Probe the backend in a subprocess under a hard timeout; retry over a
+    bounded window. Returns (ok, reason)."""
+    reason = "unknown"
+    for attempt in range(PROBE_RETRIES):
+        try:
+            r = subprocess.run(_probe_cmd(), capture_output=True, text=True,
+                               timeout=PROBE_TIMEOUT)
+            if r.returncode == 0 and "HIPE_PROBE_OK" in r.stdout:
+                return True, ""
+            tail = (r.stderr or r.stdout).strip().splitlines()
+            reason = "probe rc=%d: %s" % (r.returncode,
+                                          tail[-1] if tail else "")
+        except subprocess.TimeoutExpired:
+            reason = ("probe hung past %.0fs (backend-init hang mode)"
+                      % PROBE_TIMEOUT)
+        except OSError as e:
+            reason = "probe spawn failed: %s" % e
+        if attempt + 1 < PROBE_RETRIES:
+            time.sleep(PROBE_RETRY_SLEEP)
+    return False, reason
+
+
+def _measure_in_subprocess(c, args):
+    """Run one config's measurement as `bench.py --raw` under a watchdog.
+    Returns (record_or_None, reason)."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--raw",
+           "--config", str(c), "--batch", str(args.batch),
+           "--rotation-mode", args.rotation_mode]
+    if args.proposals is not None:
+        cmd += ["--proposals", str(args.proposals)]
+    if args.cpu_baseline and c == 2:
+        cmd += ["--cpu-baseline"]
+    if os.environ.get("HIPE_BENCH_SIMULATE_OUTAGE"):
+        # the simulated outage must also fail the measurement stage when the
+        # probe is (hypothetically) let through
+        cmd = _probe_cmd()
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=MEASURE_TIMEOUT)
+    except subprocess.TimeoutExpired:
+        return None, ("measurement hung past %.0fs (tunnel died mid-run)"
+                      % MEASURE_TIMEOUT)
+    except OSError as e:
+        return None, "measurement spawn failed: %s" % e
+    if r.returncode != 0:
+        tail = (r.stderr or r.stdout).strip().splitlines()
+        return None, "measurement rc=%d: %s" % (r.returncode,
+                                                tail[-1] if tail else "")
+    for line in reversed(r.stdout.strip().splitlines()):
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(rec, dict) and rec.get("metric"):
+            return rec, ""
+    return None, "measurement produced no JSON line"
+
+
+def _emit_stale(c, reason):
+    """Print the last-known-good record for config `c`, marked stale."""
+    metric = _METRIC_BY_CONFIG[c]
+    lkg = _load_lkg().get(metric)
+    if lkg is not None:
+        out = dict(lkg)
+        out["stale"] = True
+        out["stale_from"] = out.pop("captured_at", None)
+        out["error"] = "tpu_unavailable: " + reason
+    else:
+        out = {"metric": metric, "value": 0.0, "unit": "images/sec/chip",
+               "vs_baseline": 0.0, "stale": True,
+               "error": "tpu_unavailable (no cached last-known-good): "
+                        + reason}
+    print(json.dumps(out))
+
+
+def main():
+    args = _parse_args()
     configs = args.config or [2]
     if args.all:
         configs = [2, 3, 4, 5, 6]
 
+    if args.raw:
+        for c in configs:
+            _run_raw_config(c, args)
+        return
+
+    ok, reason = _tpu_alive()
     for c in configs:
-        if c == 2:
-            # the CPU torch+cv2 reference baseline is only the headline's
-            # comparison point — don't pay for it on configs 3-5
-            cpu_ips = _cpu_baseline(force=args.cpu_baseline)
-            ips = measure_inference(args.batch)
-            print(json.dumps({
-                "metric": "freihand_e2e_inference_images_per_sec_per_chip",
-                "value": round(ips, 1),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(ips / cpu_ips, 2),
-            }))
-        elif c == 3:
-            ips = measure_train(args.batch)
-            print(json.dumps({
-                "metric": "freihand_train_images_per_sec_per_chip",
-                "value": round(ips, 1), "unit": "images/sec/chip",
-                "batch": args.batch}))
-        elif c == 4:
-            ips, ms = measure_detector(proposals=args.proposals)
-            out = {
-                "metric": "detector_two_stage_images_per_sec_per_chip",
-                "value": round(ips, 1), "unit": "images/sec/chip",
-                "ms_per_batch4_600px": round(ms, 1)}
-            if args.proposals is not None:
-                out["proposals"] = args.proposals
-            print(json.dumps(out))
-        elif c == 5:
-            ips = measure_teacher(rotation_mode=args.rotation_mode)
-            print(json.dumps({
-                "metric": "teacher_label_images_per_sec_per_chip",
-                "value": round(ips, 1), "unit": "images/sec/chip",
-                "rotations": 21, "rotation_mode": args.rotation_mode}))
-        elif c == 6:
-            ips, det_ms, pose_ms = measure_serving_two_program(
-                proposals=args.proposals)
-            out = {
-                "metric": "serving_two_stage_images_per_sec_per_chip",
-                "value": round(ips, 1), "unit": "images/sec/chip",
-                "detect_ms_batch4": round(det_ms, 1),
-                "pose_ms_batch4": round(pose_ms, 1),
-                "note": "two-program loop-differenced bound"}
-            if args.proposals is not None:
-                out["proposals"] = args.proposals
-            print(json.dumps(out))
+        if not ok:
+            _emit_stale(c, reason)
+            continue
+        rec, why = _measure_in_subprocess(c, args)
+        if rec is None:
+            # tunnel may have died between probe and measurement: re-probe
+            # once so remaining configs fail fast instead of re-timing out
+            _emit_stale(c, why)
+            ok, reason = _tpu_alive()
+            continue
+        # refresh the cache only for default-shaped runs (non-default
+        # batch/proposals/rotation-mode would poison the stale fallback)
+        if (args.batch == BATCH and args.proposals is None
+                and args.rotation_mode == "factored"):
+            _store_lkg(rec)
+        print(json.dumps(rec))
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except KeyboardInterrupt:
+        raise
+    except Exception as e:  # noqa: BLE001 — the driver contract is rc 0
+        # last-ditch: even a bug in the guarded path must not erase the
+        # round's perf record with a traceback
+        args = None
+        try:
+            args = _parse_args()
+        except SystemExit:
+            pass
+        if args is not None and not args.raw:
+            for c in (args.config or ([2, 3, 4, 5, 6] if args.all else [2])):
+                _emit_stale(c, "bench wrapper error: %r" % e)
+        else:
+            raise

@@ -1,0 +1,144 @@
+"""Outage-proofing tests for the driver bench contract.
+
+Round 3's official perf record was erased because `bench.py` hit the dead
+axon tunnel and died with rc 1 (BENCH_r03.json is a stack trace). The
+guarded parent must now survive BOTH documented tunnel failure modes —
+an UNAVAILABLE error and an indefinite hang at backend init — and still
+print one parsable JSON line per config with exit code 0, falling back to
+the last-known-good cache (.bench_lkg.json) marked `"stale": true`.
+
+These tests exercise the real subprocess watchdog via the
+HIPE_BENCH_SIMULATE_OUTAGE seam (a genuine sleep past the timeout / a
+genuine nonzero-exit probe), not mocks of subprocess.
+"""
+
+import importlib.util
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH = os.path.join(REPO, "bench.py")
+
+
+def _load_bench_module():
+    spec = importlib.util.spec_from_file_location("bench_under_test", BENCH)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _run_bench(extra_env, args=()):
+    env = dict(os.environ)
+    env.update(extra_env)
+    # keep the watchdog fast in tests
+    env.setdefault("HIPE_BENCH_PROBE_TIMEOUT", "2")
+    env.setdefault("HIPE_BENCH_PROBE_RETRIES", "2")
+    env.setdefault("HIPE_BENCH_PROBE_SLEEP", "0")
+    env.setdefault("HIPE_BENCH_MEASURE_TIMEOUT", "5")
+    return subprocess.run([sys.executable, BENCH, *args],
+                          capture_output=True, text=True, timeout=120,
+                          env=env, cwd=REPO)
+
+
+def _parse_lines(stdout):
+    recs = []
+    for line in stdout.strip().splitlines():
+        try:
+            recs.append(json.loads(line))
+        except ValueError:
+            pass
+    return recs
+
+
+@pytest.mark.parametrize("mode", ["hang", "error"])
+def test_dead_tunnel_emits_stale_lkg_rc0(mode):
+    r = _run_bench({"HIPE_BENCH_SIMULATE_OUTAGE": mode})
+    assert r.returncode == 0, r.stderr
+    recs = _parse_lines(r.stdout)
+    assert len(recs) == 1
+    rec = recs[0]
+    assert rec["metric"] == "freihand_e2e_inference_images_per_sec_per_chip"
+    assert rec["stale"] is True
+    assert "tpu_unavailable" in rec["error"]
+    # the stale record must still satisfy the driver contract fields
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(rec)
+    assert rec["value"] > 0  # seeded last-known-good, not a zero placeholder
+
+
+def test_dead_tunnel_all_configs_one_line_each():
+    r = _run_bench({"HIPE_BENCH_SIMULATE_OUTAGE": "error"}, args=("--all",))
+    assert r.returncode == 0, r.stderr
+    recs = _parse_lines(r.stdout)
+    assert [rec["metric"] for rec in recs] == [
+        "freihand_e2e_inference_images_per_sec_per_chip",
+        "freihand_train_images_per_sec_per_chip",
+        "detector_two_stage_images_per_sec_per_chip",
+        "teacher_label_images_per_sec_per_chip",
+        "serving_two_stage_images_per_sec_per_chip",
+    ]
+    assert all(rec["stale"] for rec in recs)
+
+
+def test_lkg_cache_seeded_and_committed():
+    """The fallback only works if .bench_lkg.json ships with the repo."""
+    path = os.path.join(REPO, ".bench_lkg.json")
+    assert os.path.exists(path)
+    lkg = json.load(open(path))
+    headline = lkg["freihand_e2e_inference_images_per_sec_per_chip"]
+    assert headline["value"] > 0
+    assert headline["unit"] == "images/sec/chip"
+    tracked = subprocess.run(
+        ["git", "ls-files", ".bench_lkg.json"], capture_output=True,
+        text=True, cwd=REPO).stdout.strip()
+    assert tracked == ".bench_lkg.json"
+
+
+def test_store_lkg_roundtrip(tmp_path, monkeypatch):
+    mod = _load_bench_module()
+    monkeypatch.setattr(mod, "_LKG", str(tmp_path / "lkg.json"))
+    rec = {"metric": "m", "value": 1.5, "unit": "u", "vs_baseline": 2.0}
+    mod._store_lkg(rec)
+    out = mod._load_lkg()
+    assert out["m"]["value"] == 1.5
+    assert "captured_at" in out["m"]
+    # newer measurement replaces the old one
+    mod._store_lkg({"metric": "m", "value": 9.0, "unit": "u"})
+    assert mod._load_lkg()["m"]["value"] == 9.0
+
+
+def test_good_measurement_updates_cache_and_prints(tmp_path, monkeypatch,
+                                                   capsys):
+    """Success path: parent parses the child's JSON line, refreshes the
+    cache, and re-prints the record verbatim (stubbed measurement child —
+    the real one needs the TPU)."""
+    mod = _load_bench_module()
+    monkeypatch.setattr(mod, "_LKG", str(tmp_path / "lkg.json"))
+    monkeypatch.setattr(mod, "_tpu_alive", lambda: (True, ""))
+    rec = {"metric": "freihand_e2e_inference_images_per_sec_per_chip",
+           "value": 9001.0, "unit": "images/sec/chip", "vs_baseline": 1588.0}
+    monkeypatch.setattr(mod, "_measure_in_subprocess",
+                        lambda c, a: (dict(rec), ""))
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    mod.main()
+    out = _parse_lines(capsys.readouterr().out)
+    assert out == [rec]
+    assert mod._load_lkg()[rec["metric"]]["value"] == 9001.0
+
+
+def test_nondefault_shape_does_not_poison_cache(tmp_path, monkeypatch,
+                                                capsys):
+    mod = _load_bench_module()
+    monkeypatch.setattr(mod, "_LKG", str(tmp_path / "lkg.json"))
+    monkeypatch.setattr(mod, "_tpu_alive", lambda: (True, ""))
+    rec = {"metric": "freihand_e2e_inference_images_per_sec_per_chip",
+           "value": 123.0, "unit": "images/sec/chip", "vs_baseline": 1.0}
+    monkeypatch.setattr(mod, "_measure_in_subprocess",
+                        lambda c, a: (dict(rec), ""))
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--batch", "8"])
+    mod.main()
+    assert _parse_lines(capsys.readouterr().out) == [rec]
+    assert mod._load_lkg() == {}  # non-default batch: cache untouched
