@@ -52,6 +52,10 @@ def build_argparser():
                         "(reference parity) or 'group' (cli/train_detector's "
                         "from-scratch default)")
     # pose-net sizing knobs (defaults = reference R50@224, 56^3 heatmap)
+    p.add_argument("--mesh", default="auto",
+                   help="device mesh for the sharded sweep (both the "
+                        "two-stage serving pipeline and the Tester path): "
+                        "'auto', 'none', or 'data=N[,model=M]'")
     p.add_argument("--pose-resnet", type=int, default=50)
     p.add_argument("--pose-input", type=int, default=224)
     p.add_argument("--pose-depth", type=int, default=None,
@@ -145,9 +149,14 @@ def main(argv=None):
         detector, det_vars = build_detector(cfg.detector,
                                             args.detector_ckpt)
 
+        from hand_integral_pose_estimation_tpu.cli.mesh_arg import (
+            resolve_eval_mesh,
+        )
         pose_vars = {"params": state.params,
                      "batch_stats": state.batch_stats}
-        pipe = TwoStagePipeline(cfg, model, pose_vars, detector, det_vars)
+        pipe = TwoStagePipeline(cfg, model, pose_vars, detector, det_vars,
+                                mesh=resolve_eval_mesh(args.mesh,
+                                                       args.batch_size))
 
         from hand_integral_pose_estimation_tpu.data.freihand import (
             padded_batches,
@@ -173,7 +182,11 @@ def main(argv=None):
             detector_db.save_bbox_db(args.bbox_db, dataset, bbox)
             print(f"cached crop boxes -> {args.bbox_db}")
     else:
-        tester = Tester(cfg=cfg, dataset=dataset, state=state)
+        from hand_integral_pose_estimation_tpu.cli.mesh_arg import (
+            resolve_eval_mesh,
+        )
+        tester = Tester(cfg=cfg, dataset=dataset, state=state,
+                        mesh=resolve_eval_mesh(args.mesh, args.batch_size))
         coords, batch = tester.run(batch_size=args.batch_size)
         bbox = np.asarray(batch.bbox)
         K = np.asarray(batch.K)

@@ -19,6 +19,11 @@ def build_argparser():
                    help="snapshot epoch (default: latest)")
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--synthetic-size", type=int, default=64)
+    p.add_argument("--mesh", default="auto",
+                   help="device mesh for the sharded test sweep: 'auto' "
+                        "(data-parallel over all usable devices — the "
+                        "reference's test-time DataParallel + gather, "
+                        "main/test.py:92), 'none', or 'data=N[,model=M]'")
     return p
 
 
@@ -60,7 +65,11 @@ def main(argv=None):
     except FileNotFoundError:
         print("no snapshot found — evaluating a fresh model")
 
-    tester = Tester(cfg=cfg, dataset=dataset, state=state)
+    from hand_integral_pose_estimation_tpu.cli.mesh_arg import (
+        resolve_eval_mesh,
+    )
+    mesh = resolve_eval_mesh(args.mesh, args.batch_size)
+    tester = Tester(cfg=cfg, dataset=dataset, state=state, mesh=mesh)
     coords, batch = tester.run(batch_size=args.batch_size)
     summary = evaluate_test_split(coords, batch, result_dir=args.result_dir)
     print(summary["p1_summary"])

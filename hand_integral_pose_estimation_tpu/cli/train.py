@@ -206,32 +206,10 @@ def main(argv=None):
         # explicit layout: 'data=N,model=M', either axis alone (the other
         # is inferred from the visible device count), over a PREFIX of the
         # devices when N*M is smaller than the host
-        import jax
-
-        from hand_integral_pose_estimation_tpu.parallel import make_mesh
-        spec = {}
-        for kv in args.mesh.split(","):
-            key, eq, val = kv.partition("=")
-            if not eq or key not in ("data", "model") \
-                    or not val.isdigit() or int(val) < 1:
-                raise SystemExit(
-                    f"--mesh {args.mesh!r}: expected "
-                    "'auto', 'none', or 'data=N[,model=M]' "
-                    f"(bad token {kv!r})")
-            spec[key] = int(val)
-        n_dev = len(jax.devices())
-        model_par = spec.get("model", 1)
-        data_n = spec.get("data", n_dev // model_par)
-        if data_n < 1:
-            raise SystemExit(
-                f"--mesh {args.mesh}: model={model_par} leaves no devices "
-                f"for the data axis ({n_dev} visible)")
-        if data_n * model_par > n_dev:
-            raise SystemExit(
-                f"--mesh {args.mesh} needs {data_n * model_par} devices, "
-                f"{n_dev} visible")
-        mesh = make_mesh(model_parallelism=model_par,
-                         devices=jax.devices()[:data_n * model_par])
+        from hand_integral_pose_estimation_tpu.cli.mesh_arg import (
+            parse_explicit_mesh,
+        )
+        mesh, model_par = parse_explicit_mesh(args.mesh)
 
     trainer = Trainer(cfg=cfg, dataset=dataset, model_dir=args.model_dir,
                       log_dir=args.log_dir,

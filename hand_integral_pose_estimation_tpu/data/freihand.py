@@ -213,7 +213,7 @@ class SyntheticFreiHand:
 
     def __init__(self, n: int = 256, image_hw=(224, 224), seed: int = 0,
                  labelled_fraction: float = 0.5,
-                 render_joints: bool = False):
+                 render_joints: bool = False, num_joints: int = 21):
         rng = np.random.RandomState(seed)
         self.n = n
         H, W = image_hw
@@ -222,8 +222,10 @@ class SyntheticFreiHand:
             np.array([[531.9, 0, W / 2], [0, 532.2, H / 2], [0, 0, 1.0]],
                      np.float32), (n, 1, 1))
         center = np.array([0.0, 0.0, 0.45])
+        # num_joints: 21 matches FreiHAND; other values (>= 11, so root 9 /
+        # ref bone 9-10 stay valid) exercise model-axis-divisible heads
         self.joint_cam = (center
-                          + rng.uniform(-0.035, 0.035, (n, 21, 3))
+                          + rng.uniform(-0.035, 0.035, (n, num_joints, 3))
                           ).astype(np.float32)
         if render_joints:
             # paint a distinct blob at each joint's projection so the task
@@ -235,7 +237,7 @@ class SyntheticFreiHand:
                 uv = uvw[:, :2] / uvw[:, 2:3]
                 zrel = self.joint_cam[i, :, 2]
                 zn = (zrel - zrel.min()) / max(float(np.ptp(zrel)), 1e-6)
-                for j in range(21):
+                for j in range(num_joints):
                     x, y = int(round(uv[j, 0])), int(round(uv[j, 1]))
                     if 1 <= x < W - 1 and 1 <= y < H - 1:
                         col = np.array([

@@ -58,10 +58,25 @@ def prepare_blob(images_rgb: jnp.ndarray, cfg: DetectorConfig):
 
 
 def detect(model: FasterRCNN, variables, images_rgb: jnp.ndarray,
-           cfg: Optional[DetectorConfig] = None) -> Detections:
+           cfg: Optional[DetectorConfig] = None,
+           mesh=None, data_axis: str = "data") -> Detections:
     """Full two-stage detection (hand_detector.py:160-246): blob -> forward
     -> decode class-1 ("hand") deltas with bbox_normalize_stds -> clip ->
-    rescale to original image -> threshold 0.001 -> NMS 0.3 -> fixed top-K."""
+    rescale to original image -> threshold 0.001 -> NMS 0.3 -> fixed top-K.
+
+    With `mesh` set, the whole call runs inside one `shard_map` region:
+    images shard over `data_axis`, weights are replicated, and every stage
+    (backbone, RPN, the ROIAlign Pallas kernel, NMS fixpoint) executes on
+    its own shard — the serving-side counterpart of the reference wrapping
+    the detector in DataParallel (common/base.py:179-284). Per-shard batch
+    = B / data_axis_size; B must divide."""
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        data = P(data_axis)
+        return jax.shard_map(
+            lambda v, im: detect(model, v, im, cfg),
+            mesh=mesh, in_specs=(P(), data), out_specs=data,
+            check_vma=False)(variables, images_rgb)
     cfg = cfg or model.cfg
     B, H, W = images_rgb.shape[0], images_rgb.shape[1], images_rgb.shape[2]
     blob, scale = prepare_blob(images_rgb, cfg)
@@ -88,11 +103,13 @@ def detect(model: FasterRCNN, variables, images_rgb: jnp.ndarray,
 def detect_hand_crop_bbox(model: FasterRCNN, variables,
                           images_rgb: jnp.ndarray,
                           cfg: Optional[DetectorConfig] = None,
-                          pad_factor: float = 1.75) -> jnp.ndarray:
+                          pad_factor: float = 1.75,
+                          mesh=None) -> jnp.ndarray:
     """Best-score detection -> square + padded crop box (cx, cy, w, h) — the
     box the pose pipeline crops with (augment.py:317-342
-    `find_bb_hand_detector`). Returns (B, 4)."""
-    det = detect(model, variables, images_rgb, cfg)
+    `find_bb_hand_detector`). Returns (B, 4). `mesh` shards the detection
+    over `data` (the per-image box math after it partitions natively)."""
+    det = detect(model, variables, images_rgb, cfg, mesh=mesh)
     packed = jnp.concatenate([det.boxes, det.scores[..., None]], axis=-1)
     crop = jax.vmap(
         lambda p: bbox_mod.bbox_from_detection(p, pad_factor=pad_factor)

@@ -40,7 +40,15 @@ def build_detector(det_cfg: DetectorConfig,
     Restoring uses the freshly-initialised tree as the template, so both
     params and batch_stats come from the checkpoint (a detector trained with
     live BatchNorm needs its running statistics at eval time).
+
+    An explicitly-given `ckpt_path` that does not exist RAISES: a typo'd
+    path silently falling through to fresh weights produced near-zero-AP
+    evaluations with nothing but a log line to explain them.
     """
+    if ckpt_path and not os.path.exists(ckpt_path):
+        raise FileNotFoundError(
+            f"detector checkpoint {ckpt_path!r} does not exist "
+            "(omit --detector-ckpt to run with fresh weights)")
     model = FasterRCNN(cfg=det_cfg)
     s = det_cfg.test_scale
     det_vars = model.init(
@@ -50,10 +58,7 @@ def build_detector(det_cfg: DetectorConfig,
     det_vars = {"params": det_vars["params"],
                 "batch_stats": det_vars.get("batch_stats", {})}
     if ckpt_path:
-        if not os.path.exists(ckpt_path):
-            log(f"detector checkpoint {ckpt_path} not found — "
-                "using fresh weights")
-        elif ckpt_path.endswith((".pth", ".pt")):
+        if ckpt_path.endswith((".pth", ".pt")):
             # reference torch checkpoint (faster_rcnn_*.pth,
             # hand_detector.py:111-158): convert the jwyang-layout state
             # dict; requires det_cfg.resnet_style == "caffe" (the converter

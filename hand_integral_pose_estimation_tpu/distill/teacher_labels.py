@@ -113,22 +113,24 @@ def generate_filtered_labels(
         # are traced — only the S x S raster is static; per-sample pixel
         # density adapts (slightly coarser than the patch only when the
         # box is far off-centre AND large).
-        cov_c = math.cos(rotation_range)
-        cov_s = math.sin(rotation_range)
         sweep = 2.0 * math.sin(rotation_range / 2.0)
         S = 320
         pp = K[:, 0:2, 2]                                  # (B, 2)
         d = jnp.linalg.norm(bbox[:, 0:2] - pp, axis=-1)    # (B,)
         margin = sweep * d + 4.0
         # axis-aligned cover of a w x h rect rotated by up to the range:
-        # each axis needs its own extent times cos PLUS the OTHER axis
-        # times sin (exact; reduces to (cos+sin)·w for the square boxes
-        # the in-tree pipelines produce, but generate_filtered_labels
-        # accepts arbitrary boxes)
+        # extent(θ) = w·cosθ + h·sinθ peaks at θ* = atan(h/w), so the
+        # exact max over θ ∈ [0, range] evaluates at min(range, θ*) per
+        # axis — capping at the diagonal sqrt(w²+h²) for elongated boxes
+        # whose θ* falls inside the range (in-tree pipelines only produce
+        # squares, where θ* = π/4 > any sane range and this reduces to
+        # (cos+sin)·w, but generate_filtered_labels accepts any box)
         w_sc = bbox[:, 2] * acfg.scale
         h_sc = bbox[:, 3] * acfg.scale
-        wS = cov_c * w_sc + cov_s * h_sc + 2.0 * margin
-        hS = cov_c * h_sc + cov_s * w_sc + 2.0 * margin
+        th_w = jnp.minimum(rotation_range, jnp.arctan2(h_sc, w_sc))
+        th_h = jnp.minimum(rotation_range, jnp.arctan2(w_sc, h_sc))
+        wS = w_sc * jnp.cos(th_w) + h_sc * jnp.sin(th_w) + 2.0 * margin
+        hS = h_sc * jnp.cos(th_h) + w_sc * jnp.sin(th_h) + 2.0 * margin
         transS = transforms.trans_from_patch(
             bbox[:, 0], bbox[:, 1], wS, hS, S, S)          # (B, 3, 3)
         transS_inv = transforms.trans_from_patch(

@@ -35,16 +35,32 @@ class PipelineOutput(NamedTuple):
 
 
 class TwoStagePipeline:
-    """Bundles a detector and a pose net into one jittable callable."""
+    """Bundles a detector and a pose net into one jittable callable.
+
+    With `mesh`, the whole two-stage program runs inside one `shard_map`
+    region: images/K/ref_bone_len shard over `data`, both networks'
+    weights are replicated, and every stage (detector, crop warp, pose
+    forward, fused decode, back-projection) executes on its own batch
+    shard — serving scales over the mesh exactly like the reference
+    wrapping both nets in DataParallel (common/base.py:179-284). The
+    global batch must divide by the data-axis size."""
 
     def __init__(self, cfg: Config, pose_net: ResPoseNet, pose_variables,
-                 detector: FasterRCNN, detector_variables):
+                 detector: FasterRCNN, detector_variables, mesh=None):
         self.cfg = cfg
         self.pose_net = pose_net
         self.pose_variables = pose_variables
         self.detector = detector
         self.detector_variables = detector_variables
-        self._run = jax.jit(self._build())
+        self.mesh = mesh
+        run = self._build()
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            data = P("data")
+            run = jax.shard_map(run, mesh=mesh,
+                                in_specs=(P(), P(), data, data, data),
+                                out_specs=data, check_vma=False)
+        self._run = jax.jit(run)
 
     def _build(self):
         cfg = self.cfg

@@ -285,6 +285,50 @@ def load_torch_state_dict(path: str) -> Dict[str, Any]:
     return ckpt
 
 
+def _deconv(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d weight (in, out, kh, kw) -> flax ConvTranspose
+    SAME kernel (kh, kw, in, out): spatial flip + axis moves (flax's
+    conv_transpose applies the kernel unflipped over the zero-dilated
+    input, torch applies it flipped; verified by forward-output oracle)."""
+    return np.transpose(w[:, :, ::-1, ::-1], (2, 3, 0, 1)).copy()
+
+
+def convert_pose_snapshot(state_dict: Mapping[str, Any],
+                          resnet_type: int = 50,
+                          num_deconv: int = 3) -> Variables:
+    """Full reference ResPoseNet snapshot -> our ResPoseNet variables.
+
+    The reference trains `ResPoseNet(backbone, head)` (main/model.py:58-66)
+    and snapshots `model.state_dict()` — keys `backbone.*` (torchvision
+    ResNet naming, common/nets/resnet.py:19-30) and `head.deconv_layers.
+    {0,3,6}.weight` / `{1,4,7}.{BN}` / `head.final_layer.{weight,bias}`
+    (main/model.py:5-44). DataParallel's `module.` prefix is stripped.
+    With this, a user's trained reference snapshot_*.pth drops straight
+    into our Tester/Evaluator (cli/test.py --torch-snapshot).
+    """
+    sd = {(k[len("module."):] if k.startswith("module.") else k): v
+          for k, v in state_dict.items()}
+    backbone = convert_torchvision_resnet(
+        {k[len("backbone."):]: v for k, v in sd.items()
+         if k.startswith("backbone.")}, resnet_type, num_stages=4)
+
+    c = _Consumer({k: v for k, v in sd.items() if k.startswith("head.")},
+                  "ResPoseNet head")
+    hp: Dict[str, Any] = {}
+    hs: Dict[str, Any] = {}
+    for i in range(num_deconv):
+        w = c.take(f"head.deconv_layers.{3 * i}.weight")
+        hp[f"deconv{i}"] = {"kernel": _deconv(w)}
+        bp, bs = _bn(c, f"head.deconv_layers.{3 * i + 1}")
+        hp[f"_Norm_{i}"], hs[f"_Norm_{i}"] = _norm_entry(bp, bs)
+    hp["final"] = {"kernel": _conv(c.take("head.final_layer.weight")),
+                   "bias": c.take("head.final_layer.bias")}
+    c.finish()
+    return {"params": {"backbone": backbone["params"], "head": hp},
+            "batch_stats": {"backbone": backbone["batch_stats"],
+                            "head": hs}}
+
+
 def imagenet_init_pose_variables(variables: Variables,
                                  state_dict: Mapping[str, Any],
                                  resnet_type: int) -> Variables:

@@ -12,6 +12,7 @@ from hand_integral_pose_estimation_tpu.parallel.mesh import (  # noqa: F401
     shard_host_batch,
 )
 from hand_integral_pose_estimation_tpu.parallel.shard_ops import (  # noqa: F401
+    head_model_split,
     sharded_head_projection_integral,
     sharded_softmax_integral,
     sharded_warp_perspective_batch,

@@ -58,6 +58,17 @@ def sharded_softmax_integral(heatmap_nhwc, num_joints: int, depth: int,
                          check_vma=False)(heatmap_nhwc)
 
 
+def head_model_split(mesh: Optional[Mesh], num_joints: int,
+                     model_axis: str = "model") -> bool:
+    """True when the fused head will consume a model-sharded final
+    projection IN PLACE (J divides the model-axis size); False means the
+    data-parallel replicated-weight fallback runs. Exposed so runners
+    (e.g. __graft_entry__.dryrun_multichip) can log which path executed."""
+    return (mesh is not None and model_axis in mesh.axis_names
+            and mesh.shape[model_axis] > 1
+            and num_joints % mesh.shape[model_axis] == 0)
+
+
 def sharded_head_projection_integral(feats, W, b, num_joints: int,
                                      depth: int,
                                      mesh: Optional[Mesh] = None,
@@ -77,7 +88,7 @@ def sharded_head_projection_integral(feats, W, b, num_joints: int,
         return head_projection_integral(feats, W, b, num_joints, depth,
                                         impl, interpret)
     msize = mesh.shape[model_axis]
-    split_model = msize > 1 and num_joints % msize == 0
+    split_model = head_model_split(mesh, num_joints, model_axis)
 
     if split_model:
         def fn(f, w, bb):

@@ -122,13 +122,17 @@ def make_train_step(model, tx, cfg: Config,
     return train_step
 
 
-def make_eval_step(model, cfg: Config, integral_impl: str = "auto",
-                   fuse_head: bool = True):
-    """No-grad forward + decode, the body of main/test.py:68-143."""
+def make_eval_fn(model, cfg: Config, integral_impl: str = "auto",
+                 fuse_head: bool = True):
+    """UNJITTED no-grad forward + decode, the body of main/test.py:68-143.
+
+    Kept jit-free so the mesh-sharded Tester can run it inside a
+    `shard_map` region (each device evaluates its `data` shard with the
+    Pallas kernels partitioned); `make_eval_step` is the single-device
+    jitted wrapper."""
     J = cfg.model.num_joints
     D = cfg.model.depth_dim
 
-    @jax.jit
     def eval_step(state: TrainState, batch: Batch):
         if fuse_head:
             feats = model.apply(
@@ -149,3 +153,9 @@ def make_eval_step(model, cfg: Config, integral_impl: str = "auto",
         return coords, loss
 
     return eval_step
+
+
+def make_eval_step(model, cfg: Config, integral_impl: str = "auto",
+                   fuse_head: bool = True):
+    """Jitted no-grad forward + decode (single-device Tester path)."""
+    return jax.jit(make_eval_fn(model, cfg, integral_impl, fuse_head))

@@ -138,6 +138,11 @@ class Trainer:
                 make_mesh, make_multihost_mesh,
             )
             mp = self.model_parallelism
+            if mp < 1 or mp > jax.device_count() \
+                    or jax.device_count() % mp:
+                raise ValueError(
+                    f"model_parallelism {mp} must be >=1 and divide the "
+                    f"visible device count {jax.device_count()}")
             data_n = jax.device_count() // mp
             if self.cfg.train.batch_size % max(data_n, 1) == 0:
                 self.mesh = make_multihost_mesh(model_parallelism=mp)
@@ -372,8 +377,15 @@ class Trainer:
             if self.test_dataset is not None:
                 # epoch-end 'Average loss on test set' (main/train.py:140-163)
                 if tester is None:  # build once so the eval jit cache is kept
+                    # the sweep rides the training mesh when the test batch
+                    # divides its data axis (else single-device, still valid)
+                    tmesh = self.mesh
+                    if (tmesh is not None and self.cfg.train.test_batch_size
+                            % tmesh.shape["data"]):
+                        tmesh = None
                     tester = Tester(self.cfg, self.test_dataset, self.state,
-                                    integral_impl=self.integral_impl)
+                                    integral_impl=self.integral_impl,
+                                    mesh=tmesh)
                 tester.state = self.state
                 test_loss = tester.mean_loss()
                 self.logger.info("epoch %d/%d average loss on test set %.4f",
@@ -387,12 +399,22 @@ class Trainer:
 @dataclasses.dataclass
 class Tester:
     """No-grad sweep over a dataset collecting integral coords
-    (main/test.py:67-143 equivalent); results feed evaluation/."""
+    (main/test.py:67-143 equivalent); results feed evaluation/.
+
+    With `mesh` set, each batch is sharded over the `data` axis and the
+    WHOLE per-batch program (crop/normalise preprocess -> backbone ->
+    fused integral decode) runs inside one `shard_map` region, so the
+    Pallas warp + fused-head kernels stay partitioned instead of hitting
+    the SPMD partitioner's replicated fallback around opaque pallas_calls
+    (parallel/shard_ops.py rationale). Per-shard outputs are gathered when
+    the host fetches them — the test-time gather of the reference's
+    DataParallel eval (main/test.py:92, common/base.py:179-284)."""
 
     cfg: Config
     dataset: object
     state: TrainState
     integral_impl: str = "auto"
+    mesh: Optional[object] = None
 
     def __post_init__(self):
         self.model = get_pose_net(self.cfg.model)
@@ -404,6 +426,30 @@ class Tester:
             lambda image, joint_cam, K, ref_bone_len, bbox=None:
             pipeline.make_eval_batch(image, joint_cam, K, bbox,
                                      ref_bone_len, acfg, hw))
+        self._sharded_eval = None
+        if self.mesh is not None:
+            if "data" not in self.mesh.axis_names:
+                raise ValueError(
+                    f"Tester mesh must have a 'data' axis; got "
+                    f"{self.mesh.axis_names}")
+            from jax.sharding import PartitionSpec as P
+            from hand_integral_pose_estimation_tpu.training.train_step \
+                import make_eval_fn
+            eval_fn = make_eval_fn(self.model, self.cfg, self.integral_impl)
+
+            def body(state, image, joint_cam, K, ref_bone_len, bbox):
+                batch = pipeline.make_eval_batch(
+                    image, joint_cam, K, bbox, ref_bone_len, acfg, hw)
+                coords, _ = eval_fn(state, batch)
+                return coords, batch._replace(image=None)
+
+            data = P("data")
+            self._sharded_eval = jax.jit(jax.shard_map(
+                body, mesh=self.mesh,
+                # state replicated (a model-sharded final projection from a
+                # mesh Trainer is gathered once on entry), batch over `data`
+                in_specs=(P(), data, data, data, data, data),
+                out_specs=(data, data), check_vma=False))
 
     def run(self, batch_size: Optional[int] = None):
         """Sweep every sample exactly once.
@@ -423,17 +469,29 @@ class Tester:
             padded_batches,
         )
         bs = batch_size or self.cfg.train.test_batch_size
+        if self.mesh is not None:
+            dsize = self.mesh.shape["data"]
+            if bs % dsize:
+                raise ValueError(
+                    f"test batch size {bs} must divide by the mesh "
+                    f"data-axis size {dsize} (pass batch_size= or set "
+                    f"cfg.train.test_batch_size accordingly)")
         n = len(self.dataset)
         coords_all, batches = [], []
         for idx in padded_batches(n, bs):
             host = self.dataset.host_batch(idx)
-            batch = self._preprocess(host["image"], host["joint_cam"],
-                                     host["K"], host["ref_bone_len"],
-                                     host["bbox_detector"])
-            coords, _ = self.eval_step(self.state, batch)
+            if self._sharded_eval is not None:
+                coords, batch = self._sharded_eval(
+                    self.state, host["image"], host["joint_cam"],
+                    host["K"], host["ref_bone_len"], host["bbox_detector"])
+            else:
+                batch = self._preprocess(host["image"], host["joint_cam"],
+                                         host["K"], host["ref_bone_len"],
+                                         host["bbox_detector"])
+                coords, _ = self.eval_step(self.state, batch)
+                batch = batch._replace(image=None)
             coords_all.append(np.asarray(coords))
-            batches.append(jax.tree_util.tree_map(
-                np.asarray, batch._replace(image=None)))
+            batches.append(jax.tree_util.tree_map(np.asarray, batch))
         coords = np.concatenate(coords_all)[:n]
         merged = jax.tree_util.tree_map(
             lambda *xs: np.concatenate(xs)[:n], *batches)

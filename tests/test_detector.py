@@ -516,6 +516,22 @@ class TestTwoStagePipeline:
         # exact bone assertion fp-degenerate here)
 
 
+class TestBuildDetector:
+    def test_missing_explicit_ckpt_raises(self, tmp_path):
+        """A typo'd --detector-ckpt must fail loudly, not silently evaluate
+        fresh weights to near-zero AP (ADVICE r3 #3)."""
+        from hand_integral_pose_estimation_tpu.detect.load import (
+            build_detector,
+        )
+        cfg = DetectorConfig(resnet_type=18, test_scale=64,
+                             test_max_size=64)
+        for name in ("nope.pth", "nope_orbax_dir"):
+            with pytest.raises(FileNotFoundError,
+                               match="detector checkpoint"):
+                build_detector(cfg, str(tmp_path / name),
+                               log=lambda *a: None)
+
+
 class TestDetectorBBoxDb:
     def test_generate_save_load_attach(self, tiny_detector, tmp_path, rng):
         """Detector crop-box db (FreiHand.py:286-341,382-409 equivalent):

@@ -191,6 +191,23 @@ class TestRotationModes:
         pf = self._patches(imgs, Ks, bbox, "factored", num_rotations=3)
         assert pf.min() > 199.0, float(pf.min())
 
+    def test_rotated_crops_covered_extreme_aspect_ratio(self, rng):
+        """Aspect ratios past 1/tan(rotation_range) (~1.74 at 0.52 rad):
+        extent(θ) = w·cosθ + h·sinθ peaks INSIDE the range at θ* =
+        atan(h/w), so the cover must clamp the effective angle per axis
+        (cap at the diagonal) — evaluating at θ = range under-covers and
+        rotated crop corners would sample zero padding (ADVICE r3 #1)."""
+        B, hw = 2, 256
+        imgs = jnp.full((B, hw, hw, 3), 200.0, jnp.float32)
+        K = jnp.asarray([[531.9, 0., 128.], [0., 532.2, 128.],
+                         [0., 0., 1.]])
+        Ks = jnp.broadcast_to(K, (B, 3, 3))
+        bbox = jnp.asarray([[128.0, 128.0, 16.0, 160.0],   # ratio 10 tall
+                            [128.0, 128.0, 160.0, 16.0]])  # ratio 10 wide
+        pf = self._patches(imgs, Ks, bbox, "factored", num_rotations=5,
+                           rotation_range=0.52)
+        assert pf.min() > 199.0, float(pf.min())
+
     def test_unknown_mode_raises(self, rng):
         imgs, Ks, bbox = self._smooth_setup(rng)
         try:
