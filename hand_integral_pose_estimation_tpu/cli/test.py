@@ -19,6 +19,12 @@ def build_argparser():
                    help="snapshot epoch (default: latest)")
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--synthetic-size", type=int, default=64)
+    p.add_argument("--torch-snapshot", default=None,
+                   help="a trained reference ResPoseNet snapshot .pth "
+                        "(main/model.py state_dict, DataParallel prefix "
+                        "ok): converted via interop.convert_pose_snapshot "
+                        "and evaluated directly — takes precedence over "
+                        "--model-dir snapshots")
     p.add_argument("--mesh", default="auto",
                    help="device mesh for the sharded test sweep: 'auto' "
                         "(data-parallel over all usable devices — the "
@@ -58,12 +64,27 @@ def main(argv=None):
     state, _ = create_train_state(
         model, jax.random.PRNGKey(0),
         jnp.zeros((1, *cfg.model.input_shape, 3)), cfg.train)
-    try:
-        state, epoch = load_checkpoint(args.model_dir, state,
-                                       args.test_epoch)
-        print(f"loaded snapshot_{epoch}")
-    except FileNotFoundError:
-        print("no snapshot found — evaluating a fresh model")
+    if args.torch_snapshot:
+        import dataclasses
+
+        from hand_integral_pose_estimation_tpu.interop import (
+            convert_pose_snapshot,
+            load_torch_state_dict,
+        )
+        variables = convert_pose_snapshot(
+            load_torch_state_dict(args.torch_snapshot),
+            cfg.model.resnet_type)
+        variables = jax.tree_util.tree_map(jnp.asarray, variables)
+        state = dataclasses.replace(state, params=variables["params"],
+                                    batch_stats=variables["batch_stats"])
+        print(f"converted reference snapshot {args.torch_snapshot}")
+    else:
+        try:
+            state, epoch = load_checkpoint(args.model_dir, state,
+                                           args.test_epoch)
+            print(f"loaded snapshot_{epoch}")
+        except FileNotFoundError:
+            print("no snapshot found — evaluating a fresh model")
 
     from hand_integral_pose_estimation_tpu.cli.mesh_arg import (
         resolve_eval_mesh,

@@ -282,6 +282,11 @@ def load_torch_state_dict(path: str) -> Dict[str, Any]:
     if isinstance(ckpt, dict) and "model" in ckpt \
             and isinstance(ckpt["model"], dict):
         return ckpt["model"]
+    if isinstance(ckpt, dict) and "network" in ckpt \
+            and isinstance(ckpt["network"], dict):
+        # the pose trainer's snapshot envelope (common/base.py:57-67:
+        # {"epoch", "network", "optimizer"})
+        return ckpt["network"]
     return ckpt
 
 

@@ -1,0 +1,285 @@
+"""Whole-pipeline cross-framework parity oracle (VERDICT r3 missing #2).
+
+Per-module torch oracles exist elsewhere (integral vs loss.py:46 in
+test_integral.py, converted-weight forwards in test_torch_interop.py,
+geometry vs cv2/scipy in test_geometry.py). This test closes the last
+loop: ONE fixture batch of raw pixels runs through BOTH frameworks'
+complete chains — each with its own preprocessing, network runtime,
+decode and back-projection — and the final camera-space predictions and
+PA-MPJPE/MPJPE metrics must agree.
+
+Torch side = the reference's own chain, re-stated here with NumPy/cv2/
+torch (all citations inline):
+  projectPoints -> find_bb/scale_bb -> gen_trans_from_patch_cv ->
+  cv2.warpPerspective patch (augment.py:358-413) -> normalise
+  (dataset.py:153) -> torch ResPoseNet forward (main/model.py) ->
+  softmax_integral_tensor (common/nets/loss.py:46-60) ->
+  get_joint_location_result (augment.py:160-180) ->
+  trans_coords_from_patch_to_org_3d (augment.py:208-217) -> pixel2cam
+  (augment.py:89-104) -> scale_result (FreiHand.py:632-651) ->
+  compute_similarity_transform (augment.py:18-77) -> p1/p2 errors
+  (FreiHand.py:768-798).
+
+Our side = the production path: make_eval_batch -> ResPoseNet (weights
+CONVERTED from the torch model's snapshot, interop.convert_pose_snapshot)
+-> softmax integral decode -> evaluation.evaluate_test_split.
+
+The two sides share only the input pixels, camera intrinsics, GT joints
+and the converted weights. Residual disagreement is bounded by cv2's
+fixed-point bilinear vs our float warp on smooth content.
+"""
+
+import importlib.util
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+cv2 = pytest.importorskip("cv2")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from hand_integral_pose_estimation_tpu.config import (  # noqa: E402
+    AugmentConfig,
+    Config,
+    ModelConfig,
+)
+from hand_integral_pose_estimation_tpu.interop import (  # noqa: E402
+    convert_pose_snapshot,
+)
+
+# the torch reference modules (reference state-dict naming) live in the
+# interop test; import that file directly
+_spec = importlib.util.spec_from_file_location(
+    "torch_interop_defs",
+    os.path.join(os.path.dirname(__file__), "test_torch_interop.py"))
+_defs = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_defs)
+
+
+# ------------------------------------------------- reference chain (NumPy)
+def _project_points(xyz, K):
+    """augment.py:80-87 projectPoints with R = I."""
+    uv = (K @ xyz.T).T
+    return uv[:, :2] / uv[:, 2:3], xyz[:, 2] * 1000.0
+
+
+def _find_bb(uv, pad_factor, aspect_ratio=1.0):
+    """augment.py:282-316 calc_kpt_bound + find_bb + scale_bb."""
+    l, r = uv[:, 0].min(), uv[:, 0].max()
+    u, d = uv[:, 1].min(), uv[:, 1].max()
+    cx, cy = (l + r) * 0.5, (u + d) * 0.5
+    w, h = r - l, d - u
+    if w > aspect_ratio * h:
+        h = w / aspect_ratio
+    elif w < aspect_ratio * h:
+        w = h * aspect_ratio
+    return np.array([cx, cy, w * pad_factor, h * pad_factor])
+
+
+def _gen_trans(bbox, patch_wh, scale=1.0, inv=False):
+    """augment.py:457-506 gen_trans_from_patch_cv (4-corner perspective)."""
+    cx, cy, bw, bh = bbox
+    sw, sh = bw * scale, bh * scale
+    src = np.float32([[cx - sw / 2, cy - sh / 2],
+                      [cx - sw / 2, cy + sh / 2],
+                      [cx + sw / 2, cy - sh / 2],
+                      [cx + sw / 2, cy + sh / 2]])
+    dw, dh = patch_wh
+    dst = np.float32([[0, 0], [0, dh], [dw, 0], [dw, dh]])
+    if inv:
+        return cv2.getPerspectiveTransform(dst, src)
+    return cv2.getPerspectiveTransform(src, dst)
+
+
+def _similarity_transform(X, Y):
+    """augment.py:18-77 compute_similarity_transform(optimal scale)."""
+    muX, muY = X.mean(0), Y.mean(0)
+    X0, Y0 = X - muX, Y - muY
+    normX = np.sqrt((X0 ** 2).sum())
+    normY = np.sqrt((Y0 ** 2).sum())
+    X0, Y0 = X0 / normX, Y0 / normY
+    A = X0.T @ Y0
+    U, s, Vt = np.linalg.svd(A, full_matrices=False)
+    V = Vt.T
+    T = V @ U.T
+    detT = np.linalg.det(T)
+    V[:, -1] *= np.sign(detT)
+    s[-1] *= np.sign(detT)
+    T = V @ U.T
+    traceTA = s.sum()
+    return normX * traceTA * (Y0 @ T) + muX
+
+
+def _torch_integral(hm, J, W, H, D):
+    """common/nets/loss.py:46-60 softmax_integral_tensor +
+    augment.py:160-180 get_joint_location_result scaling."""
+    B = hm.shape[0]
+    p = torch.softmax(hm.reshape(B, J, -1), dim=2).reshape(B, J, D, H, W)
+    ix = torch.arange(W, dtype=torch.float32)
+    iy = torch.arange(H, dtype=torch.float32)
+    iz = torch.arange(D, dtype=torch.float32)
+    x = (p.sum(dim=(2, 3)) * ix).sum(-1) / W - 0.5
+    y = (p.sum(dim=(2, 4)) * iy).sum(-1) / H - 0.5
+    z = (p.sum(dim=(3, 4)) * iz).sum(-1) / D - 0.5
+    coords = torch.stack([x, y, z], dim=-1).numpy().astype(float)
+    pw, ph = float(W * 4), float(H * 4)  # patch dims (cfg.patch_*)
+    coords[:, :, 0] = (coords[:, :, 0] + 0.5) * pw
+    coords[:, :, 1] = (coords[:, :, 1] + 0.5) * ph
+    coords[:, :, 2] = coords[:, :, 2] * pw
+    return coords
+
+
+def _reference_chain(images_rgb, joint_cam, K, ref_bone_len, tm, acfg,
+                     patch=224):
+    """Pixels -> per-sample (pred_cam, pred_aligned) + p1/p2 the reference
+    way (main/test.py:67-166 -> FreiHand.evaluate, FreiHand.py:670-798)."""
+    B, J = joint_cam.shape[0], joint_cam.shape[1]
+    D = patch // 4
+    patches, transs_inv, tprimes = [], [], []
+    for i in range(B):
+        uv, z = _project_points(joint_cam[i], K[i])
+        bbox = _find_bb(uv, acfg.pad_factor)
+        L = max(bbox[2], bbox[3])
+        # augment.py:388-394 tprime from the longer box side's focal
+        tprime = (acfg.scaling_constant * K[i][0, 0] / L
+                  if L == bbox[2]
+                  else acfg.scaling_constant * K[i][1, 1] / L)
+        trans = _gen_trans(bbox, (patch, patch), acfg.scale)
+        img_bgr = images_rgb[i][:, :, ::-1].astype(np.float32)
+        p = cv2.warpPerspective(img_bgr, trans, (patch, patch),
+                                flags=cv2.INTER_LINEAR)
+        p = p[:, :, ::-1].astype(np.float32)  # BGR -> RGB, augment.py:410
+        # dataset.py:153/base.py:137 normalisation (no jitter at eval)
+        p = np.clip((p - np.asarray(acfg.pixel_mean, np.float32))
+                    / np.asarray(acfg.pixel_std, np.float32), 0.0, 255.0)
+        patches.append(p)
+        transs_inv.append(_gen_trans(bbox, (patch, patch), acfg.scale,
+                                     inv=True))
+        tprimes.append(tprime)
+
+    x = torch.from_numpy(
+        np.stack(patches).transpose(0, 3, 1, 2).copy())
+    with torch.no_grad():
+        hm = tm(x)
+    coords = _torch_integral(hm, J, patch // 4, patch // 4, D)
+
+    preds, aligned = [], []
+    p1 = np.zeros((B, J, 3))
+    p2 = np.zeros((B, J, 3))
+    for i in range(B):
+        # trans_coords_from_patch_to_org_3d (augment.py:208-217): uv back
+        # through the inverse patch transform, z += tprime
+        c = coords[i].copy()
+        uv1 = np.concatenate([c[:, :2], np.ones((J, 1))], axis=1)
+        c[:, :2] = (transs_inv[i] @ uv1.T).T[:, :2]
+        c[:, 2] = c[:, 2] + tprimes[i]
+        # pixel2cam (augment.py:89-104): uv1 through K^-1, scaled by z[m]
+        xyz = (np.linalg.inv(K[i]) @
+               np.concatenate([c[:, :2], np.ones((J, 1))], 1).T).T
+        xyz = xyz * (c[:, 2:3] / 1000.0)
+        # scale_result (FreiHand.py:632-651): ref-bone rescale
+        alpha = ref_bone_len[i] / np.linalg.norm(xyz[9] - xyz[10])
+        xyz = alpha * xyz
+        al = _similarity_transform(joint_cam[i], xyz)
+        preds.append(xyz)
+        aligned.append(al)
+        p1[i] = (al - joint_cam[i]) ** 2
+        p2[i] = (xyz - joint_cam[i]) ** 2
+    p1e = float(np.mean(np.sqrt(p1.sum(axis=2))))
+    p2e = float(np.mean(np.sqrt(p2.sum(axis=2))))
+    return np.stack(preds), np.stack(aligned), p1e, p2e
+
+
+# --------------------------------------------------------------- fixture
+def _smooth_scene(rng, B, hw=224):
+    """Low-frequency scenes with content near the hand: bilinear-filter
+    differences between cv2 and our warp stay sub-pixel on these."""
+    y, x = np.mgrid[0:hw, 0:hw] / hw
+    imgs = []
+    for b in range(B):
+        img = np.stack([np.sin(2 * np.pi * (x + 0.13 * b)) * 70 + 120,
+                        np.cos(2 * np.pi * (y - 0.07 * b)) * 70 + 120,
+                        (x * y) * 150 + 40], axis=-1)
+        for _ in range(4):  # soft blobs = trackable structure
+            cx, cy = rng.uniform(0.3, 0.7) * hw, rng.uniform(0.3, 0.7) * hw
+            r = rng.uniform(8, 25)
+            img += (np.exp(-(((x * hw - cx) ** 2 + (y * hw - cy) ** 2)
+                             / (2 * r * r)))[:, :, None]
+                    * rng.uniform(-60, 60, 3))
+        imgs.append(np.clip(img, 0, 255))
+    return np.stack(imgs).astype(np.float32)
+
+
+def test_whole_pipeline_parity():
+    rng = np.random.RandomState(20260818)
+    B, J, patch = 4, 21, 224
+    images = _smooth_scene(rng, B, patch)
+    K = np.tile(np.array([[531.9, 0, 112.0], [0, 532.2, 112.0],
+                          [0, 0, 1.0]], np.float64), (B, 1, 1))
+    joint_cam = (np.array([0.0, 0.0, 0.45])
+                 + rng.uniform(-0.035, 0.035, (B, J, 3)))
+    ref_bone_len = np.linalg.norm(joint_cam[:, 9] - joint_cam[:, 10],
+                                  axis=-1)
+    acfg = AugmentConfig()
+
+    tm = _defs.TorchResPoseNet(50, joint_num=J, depth_dim=patch // 4)
+    _defs._randomize(tm, seed=3)
+
+    ref_pred, ref_aligned, ref_p1, ref_p2 = _reference_chain(
+        images, joint_cam, K, ref_bone_len, tm, acfg, patch)
+
+    # ------------------------------------------------------- our pipeline
+    from hand_integral_pose_estimation_tpu.evaluation.evaluator import (
+        evaluate_test_split,
+    )
+    from hand_integral_pose_estimation_tpu.models import get_pose_net
+    from hand_integral_pose_estimation_tpu.training import (
+        Tester,
+        create_train_state,
+    )
+
+    cfg = Config(model=ModelConfig(
+        resnet_type=50, input_shape=(patch, patch),
+        output_shape=(patch // 4, patch // 4), depth_dim=patch // 4,
+        num_joints=J, compute_dtype="float32"))
+    variables = jax.tree_util.tree_map(
+        jnp.asarray, convert_pose_snapshot(tm.state_dict(), 50))
+    net = get_pose_net(cfg.model)
+    state, _ = create_train_state(
+        net, jax.random.PRNGKey(0), jnp.zeros((1, patch, patch, 3)),
+        cfg.train)
+    import dataclasses
+    state = dataclasses.replace(state, params=variables["params"],
+                                batch_stats=variables["batch_stats"])
+
+    class _Ds:
+        def __len__(self):
+            return B
+
+        def host_batch(self, idx):
+            i = np.asarray(idx)
+            return {"image": images[i], "joint_cam": joint_cam[i],
+                    "K": K[i], "ref_bone_len": ref_bone_len[i],
+                    "labelled": np.ones(len(i), bool),
+                    "bbox_detector": None,
+                    "teacher_cam_normalized": None}
+
+    tester = Tester(cfg, _Ds(), state, integral_impl="xla")
+    coords, merged = tester.run(batch_size=B)
+    import tempfile
+    rd = tempfile.mkdtemp()
+    summary = evaluate_test_split(coords, merged, result_dir=rd,
+                                  patch_hw=(patch, patch))
+    our_pred = np.load(os.path.join(rd, "pred.npy"))
+    our_aligned = np.load(os.path.join(rd, "pred_procr.npy"))
+
+    # -------------------------------------------------- the parity claims
+    # camera-space predictions agree to sub-mm on a ~0.5 m scene
+    np.testing.assert_allclose(our_pred, ref_pred, atol=2e-4)
+    np.testing.assert_allclose(our_aligned, ref_aligned, atol=2e-4)
+    # and the headline metrics agree
+    np.testing.assert_allclose(summary["pa_mpjpe"], ref_p1, atol=2e-4)
+    np.testing.assert_allclose(summary["mpjpe"], ref_p2, atol=2e-4)

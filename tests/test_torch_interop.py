@@ -373,6 +373,95 @@ def test_imagenet_init_pose_variables():
                                      50)
 
 
+class TorchHeadNet(tnn.Module):
+    """Reference HeadNet (main/model.py:5-44): 3x [ConvTranspose2d(4, s2,
+    p1, no bias) + BN + ReLU] + 1x1 final conv — with the snapshot's exact
+    key names (head.deconv_layers.{0,3,6}.weight etc.)."""
+
+    def __init__(self, cin, joint_num, depth_dim, channels=256):
+        super().__init__()
+        layers = []
+        for _ in range(3):
+            layers += [tnn.ConvTranspose2d(cin, channels, 4, 2, 1,
+                                           bias=False),
+                       tnn.BatchNorm2d(channels), tnn.ReLU(inplace=True)]
+            cin = channels
+        self.deconv_layers = tnn.Sequential(*layers)
+        self.final_layer = tnn.Conv2d(channels, joint_num * depth_dim, 1)
+
+    def forward(self, x):
+        return self.final_layer(self.deconv_layers(x))
+
+
+class TorchResPoseNet(tnn.Module):
+    """Reference ResPoseNet (main/model.py:58-66): backbone + head, the
+    module whose state_dict() the reference snapshots."""
+
+    def __init__(self, resnet_type, joint_num=21, depth_dim=16):
+        super().__init__()
+        self.backbone = TorchResNet(resnet_type)
+        cin = 2048 if resnet_type >= 50 else 512
+        self.head = TorchHeadNet(cin, joint_num, depth_dim)
+
+    def forward(self, x):
+        return self.head(self.backbone(x))
+
+
+@pytest.mark.parametrize("wrap_module_prefix", [False, True])
+def test_pose_snapshot_oracle(wrap_module_prefix):
+    """convert_pose_snapshot: a full reference ResPoseNet snapshot
+    (backbone + deconv head + final layer, optionally with DataParallel's
+    'module.' prefix) reproduces the torch forward heatmap through our
+    ResPoseNet — the converter that lets a trained reference snapshot_*.pth
+    drop into our Tester (cli/test.py --torch-snapshot)."""
+    from hand_integral_pose_estimation_tpu.config import ModelConfig
+    from hand_integral_pose_estimation_tpu.interop import (
+        convert_pose_snapshot,
+    )
+    from hand_integral_pose_estimation_tpu.models.pose_net import (
+        get_pose_net,
+    )
+
+    J, D = 21, 16
+    tm = TorchResPoseNet(50, joint_num=J, depth_dim=D)
+    _randomize(tm, seed=11)
+    sd = tm.state_dict()
+    if wrap_module_prefix:
+        sd = {f"module.{k}": v for k, v in sd.items()}
+
+    variables = convert_pose_snapshot(sd, resnet_type=50)
+    cfg = ModelConfig(resnet_type=50, input_shape=(64, 64),
+                      output_shape=(16, 16), depth_dim=D, num_joints=J,
+                      compute_dtype="float32")
+    net = get_pose_net(cfg)
+    x = np.random.default_rng(7).normal(size=(2, 64, 64, 3)) \
+        .astype(np.float32) * 40 + 100
+    with torch.no_grad():
+        ref = _to_nhwc(tm(_nchw(x)))
+    out = net.apply(jax.tree_util.tree_map(jnp.asarray, variables),
+                    jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-2)
+
+    # the fused-head projection consumes the same converted final params
+    Wp, bp = net.final_projection(variables["params"])
+    assert Wp.shape == (256, J * D) and bp.shape == (J * D,)
+
+
+def test_load_torch_state_dict_network_envelope(tmp_path):
+    """The pose trainer's snapshot envelope {"epoch", "network",
+    "optimizer"} (common/base.py:57-67) unwraps like the detector's
+    {"model": ...} one."""
+    from hand_integral_pose_estimation_tpu.interop import (
+        load_torch_state_dict,
+    )
+    path = str(tmp_path / "snapshot_3.pth")
+    torch.save({"epoch": 3,
+                "network": {"backbone.conv1.weight": torch.zeros(2)}},
+               path)
+    out = load_torch_state_dict(path)
+    assert set(out) == {"backbone.conv1.weight"}
+
+
 def test_build_detector_pth_path(tmp_path):
     """detect/load.py routes .pth checkpoints through the converter — the
     runner-side of `load_faster_rcnn_detector` (hand_detector.py:111-158)."""
