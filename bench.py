@@ -224,9 +224,13 @@ def measure_detector(batch=4, size=600, resnet_type=101, proposals=None):
     return batch / per_call, per_call * 1e3
 
 
-def measure_teacher(batch=8, num_rotations=21, rotation_mode="factored"):
+def measure_teacher(batch=8, num_rotations=21, rotation_mode="factored",
+                    dtype=None):
     """Config #5: teacher-label generation — 21-rotation batched warp +
-    teacher forward + variance filter per image."""
+    teacher forward + variance filter per image. `dtype` overrides the
+    teacher's compute dtype (default = config default, bfloat16; the decode
+    accumulates fp32 either way)."""
+    import dataclasses
     import functools
 
     import jax
@@ -241,6 +245,9 @@ def measure_teacher(batch=8, num_rotations=21, rotation_mode="factored"):
     )
 
     cfg = Config()
+    if dtype is not None:
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, compute_dtype=dtype))
     net = get_pose_net(cfg.model)
     variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
     _, joints, _, _ = _pose_inputs(batch)    # only the joints are reused
@@ -492,6 +499,13 @@ def _parse_args(argv=None):
     p.add_argument("--rotation-mode", default="factored",
                    choices=("factored", "composed"),
                    help="config 5: teacher sweep warp structure")
+    p.add_argument("--teacher-batch", type=int, default=8,
+                   help="config 5: images per generation batch (each runs "
+                   "batch*21 rotated teacher forwards)")
+    p.add_argument("--teacher-dtype", default=None,
+                   choices=("float32", "bfloat16"),
+                   help="config 5: override the teacher compute dtype "
+                   "(default = config default, bfloat16)")
     p.add_argument("--proposals", type=int, default=None,
                    help="config 4: override rpn_post_nms_top_n_test "
                    "(serving knob; default keeps reference parity at 300)")
@@ -530,11 +544,18 @@ def _run_raw_config(c, args):
             out["proposals"] = args.proposals
         print(json.dumps(out))
     elif c == 5:
-        ips = measure_teacher(rotation_mode=args.rotation_mode)
-        print(json.dumps({
+        ips = measure_teacher(batch=args.teacher_batch,
+                              rotation_mode=args.rotation_mode,
+                              dtype=args.teacher_dtype)
+        out = {
             "metric": "teacher_label_images_per_sec_per_chip",
             "value": round(ips, 1), "unit": "images/sec/chip",
-            "rotations": 21, "rotation_mode": args.rotation_mode}))
+            "rotations": 21, "rotation_mode": args.rotation_mode}
+        if args.teacher_batch != 8:
+            out["batch"] = args.teacher_batch
+        if args.teacher_dtype is not None:
+            out["teacher_dtype"] = args.teacher_dtype
+        print(json.dumps(out))
     elif c == 6:
         ips, det_ms, pose_ms = measure_serving_two_program(
             proposals=args.proposals)
@@ -626,7 +647,10 @@ def _measure_in_subprocess(c, args):
     Returns (record_or_None, reason)."""
     cmd = [sys.executable, os.path.abspath(__file__), "--raw",
            "--config", str(c), "--batch", str(args.batch),
-           "--rotation-mode", args.rotation_mode]
+           "--rotation-mode", args.rotation_mode,
+           "--teacher-batch", str(args.teacher_batch)]
+    if args.teacher_dtype is not None:
+        cmd += ["--teacher-dtype", args.teacher_dtype]
     if args.proposals is not None:
         cmd += ["--proposals", str(args.proposals)]
     if args.cpu_baseline and c == 2:
@@ -698,9 +722,11 @@ def main():
             ok, reason = _tpu_alive()
             continue
         # refresh the cache only for default-shaped runs (non-default
-        # batch/proposals/rotation-mode would poison the stale fallback)
+        # batch/proposals/rotation-mode/dtype would poison the fallback)
         if (args.batch == BATCH and args.proposals is None
-                and args.rotation_mode == "factored"):
+                and args.rotation_mode == "factored"
+                and args.teacher_batch == 8
+                and args.teacher_dtype is None):
             _store_lkg(rec)
         print(json.dumps(rec))
 

@@ -33,6 +33,13 @@ def build_argparser():
                         "shared crop + patch-space rotations, the fast "
                         "path; composed = one full-source warp per "
                         "rotation)")
+    p.add_argument("--teacher-dtype", choices=("float32", "bfloat16"),
+                   default=None,
+                   help="teacher compute dtype (default = config default, "
+                        "bfloat16 on the MXU; the integral decode and the "
+                        "variance filter accumulate in float32 either way "
+                        "— keep-set equality vs float32 is tested, "
+                        "tests/test_distill.py)")
     return p
 
 
@@ -64,9 +71,14 @@ def main(argv=None):
         load_checkpoint,
     )
 
+    import dataclasses
+
     cfg = Config()
     if args.training_size:
         cfg = cfg.with_training_size(args.training_size)
+    if args.teacher_dtype is not None:
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, compute_dtype=args.teacher_dtype))
     if args.synthetic or not args.data_dir:
         dataset = SyntheticFreiHand(n=args.synthetic_size)
     else:

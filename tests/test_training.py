@@ -328,10 +328,15 @@ class TestTester:
         np.testing.assert_allclose(loss, loss_exact, rtol=1e-5)
 
     def test_split_scale_sweep_bounded_memory(self):
-        """A 5k-sample sweep must not retain the image patches: the real
+        """A multi-batch sweep must not retain the image patches: the real
         test split is 4 x 3 254 samples whose (224, 224, 3) patches alone
         would be ~7.8 GB of host RAM; evaluation only consumes coords +
-        small geometry fields (evaluation/evaluator.py:24-41)."""
+        small geometry fields (evaluation/evaluator.py:24-41).
+
+        The bounded-memory property is per-batch (accumulation never holds
+        more than coords + geometry), so 1k samples prove exactly what 5k
+        proved (round-3 suite ran 5003 here at 139 s; HIPE_RUN_SLOW restores
+        it)."""
         from hand_integral_pose_estimation_tpu.evaluation.evaluator import (
             evaluate_test_split,
         )
@@ -342,7 +347,8 @@ class TestTester:
                               compute_dtype="float32"),
             train=TrainConfig(batch_size=4, lr=1e-3),
         )
-        n = 5003          # non-divisible: exercises the padded tail too
+        # non-divisible: exercises the padded tail too (2 full batches + 3)
+        n = 5003 if os.environ.get("HIPE_RUN_SLOW") else 1027
         ds = SyntheticFreiHand(n=n, image_hw=(32, 32), seed=4)
         t = Trainer(cfg=cfg, dataset=ds, model_dir=tempfile.mkdtemp(),
                     integral_impl="xla")
@@ -352,8 +358,9 @@ class TestTester:
         assert merged.image is None
         held = sum(x.nbytes for x in jax.tree_util.tree_leaves(merged))
         # every retained field is O(n * J * 3); the patches alone would have
-        # been n*32*32*3*4 = 61 MB at this toy size (3 GB at 224^2)
-        assert held < 25 * 2**20, f"accumulated {held / 2**20:.1f} MiB"
+        # been n*32*32*3*4 bytes (= 12 MB at n=1027, 3 GB at 224^2 scale)
+        assert held < (n / 200) * 2**20, \
+            f"accumulated {held / 2**20:.1f} MiB"
         # the slimmed batch still drives the full protocol evaluation
         summary = evaluate_test_split(coords, merged, patch_hw=(32, 32))
         assert np.isfinite(summary["pa_mpjpe"])
