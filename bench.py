@@ -224,21 +224,17 @@ def measure_detector(batch=4, size=600, resnet_type=101, proposals=None):
     return batch / per_call, per_call * 1e3
 
 
-def measure_teacher(batch=8, num_rotations=21, rotation_mode="factored",
-                    dtype=None):
-    """Config #5: teacher-label generation — 21-rotation batched warp +
-    teacher forward + variance filter per image. `dtype` overrides the
-    teacher's compute dtype (default = config default, bfloat16; the decode
-    accumulates fp32 either way)."""
+def _teacher_setup(batch, dtype=None):
+    """Shared config-5 fixture: frozen R50 teacher (fused projection head)
+    + realistic 480-px images with per-row jittered crop boxes (identical
+    geometry across the batch would let CSE share the per-rotation warp
+    weight build — the VPU bottleneck of this config — and flatter the
+    number)."""
     import dataclasses
-    import functools
 
     import jax
     import jax.numpy as jnp
     from hand_integral_pose_estimation_tpu.config import Config
-    from hand_integral_pose_estimation_tpu.distill.teacher_labels import (
-        generate_filtered_labels,
-    )
     from hand_integral_pose_estimation_tpu.models import get_pose_net
     from hand_integral_pose_estimation_tpu.ops.fused_head import (
         head_projection_integral,
@@ -256,9 +252,6 @@ def measure_teacher(batch=8, num_rotations=21, rotation_mode="factored",
     K = jnp.broadcast_to(
         jnp.asarray([[531.9, 0, 240.0], [0, 532.2, 240.0], [0, 0, 1.0]],
                     jnp.float32), (batch, 3, 3))
-    # per-row jittered crop boxes: identical geometry across the batch
-    # would let CSE share the per-rotation warp weight build (the VPU
-    # bottleneck of this config) and flatter the number
     jrng = np.random.RandomState(2)
     cxy = 240.0 + jrng.uniform(-40, 40, (batch, 2))
     wh = jrng.uniform(220, 300, (batch, 2))
@@ -272,6 +265,26 @@ def measure_teacher(batch=8, num_rotations=21, rotation_mode="factored",
         return head_projection_integral(feats, Wp, bp,
                                         cfg.model.num_joints,
                                         cfg.model.depth_dim)
+
+    return cfg, teacher_apply, images, K, bbox, labelled, joints
+
+
+def measure_teacher(batch=8, num_rotations=21, rotation_mode="factored",
+                    dtype=None):
+    """Config #5: teacher-label generation — 21-rotation batched warp +
+    teacher forward + variance filter per image. `dtype` overrides the
+    teacher's compute dtype (default = config default, bfloat16; the decode
+    accumulates fp32 either way)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from hand_integral_pose_estimation_tpu.distill.teacher_labels import (
+        generate_filtered_labels,
+    )
+
+    cfg, teacher_apply, images, K, bbox, labelled, joints = _teacher_setup(
+        batch, dtype)
 
     @functools.partial(jax.jit, static_argnums=(2,))
     def gen_loop(images, joints, n):
@@ -287,6 +300,55 @@ def measure_teacher(batch=8, num_rotations=21, rotation_mode="factored",
         lambda n: np.asarray(gen_loop(images, joints, n)[0, 0, 0]),
         n_steps=10, reps=3)
     return batch / per_call
+
+
+def measure_teacher_cascade(batch=8, pass1=5, num_rotations=21,
+                            rotation_mode="factored", dtype=None):
+    """Config #5 --teacher-cascade: the exact early-reject cascade
+    (distill/cascade.py). Times the two passes separately (pass 1 = the
+    early-reject subset sweep every sample pays; pass 2 = the remaining
+    rotations only pass-1 survivors pay) and reports effective throughput
+    as a function of the survival rate f:
+
+        t(f) = t_pass1 + f * t_pass2   per batch
+
+    The host-side f64 variance combine is microseconds per batch against
+    ~10 ms of device sweep and is not separately timed. Returns
+    (pass1_s_per_batch, pass2_s_per_batch)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from hand_integral_pose_estimation_tpu.distill import (
+        pass1_rotation_indices,
+    )
+    from hand_integral_pose_estimation_tpu.distill.teacher_labels import (
+        rotation_sweep_camera,
+    )
+
+    cfg, teacher_apply, images, K, bbox, _, _ = _teacher_setup(batch, dtype)
+    rot_range = 0.52
+    thetas = np.linspace(-rot_range, rot_range, num_rotations)
+    idx1 = pass1_rotation_indices(num_rotations, pass1)
+    idx2 = np.setdiff1d(np.arange(num_rotations), idx1)
+
+    def make_loop(th):
+        @functools.partial(jax.jit, static_argnums=(1,))
+        def loop(images, n):
+            def body(i, imgs):
+                cam, _ = rotation_sweep_camera(
+                    teacher_apply, imgs, K, bbox, cfg.augment, th,
+                    rot_range, cfg.model.input_shape, rotation_mode)
+                return imgs + 1e-9 * jnp.sum(cam)
+            return jax.lax.fori_loop(0, n, body, images)
+        return loop
+
+    loop1, loop2 = make_loop(thetas[idx1]), make_loop(thetas[idx2])
+    t1 = _diff_timed(lambda n: np.asarray(loop1(images, n)[0, 0, 0]),
+                     n_steps=10, reps=3)
+    t2 = _diff_timed(lambda n: np.asarray(loop2(images, n)[0, 0, 0]),
+                     n_steps=10, reps=3)
+    return t1, t2
 
 
 def measure_serving_two_program(batch=4, proposals=None):
@@ -506,6 +568,12 @@ def _parse_args(argv=None):
                    choices=("float32", "bfloat16"),
                    help="config 5: override the teacher compute dtype "
                    "(default = config default, bfloat16)")
+    p.add_argument("--teacher-cascade", type=int, default=None,
+                   metavar="PASS1_ROTATIONS",
+                   help="config 5: measure the exact early-reject cascade "
+                   "instead of the single-pass sweep — reports pass-1/"
+                   "pass-2 cost and effective img/s vs pass-1 survival "
+                   "rate (distill/cascade.py)")
     p.add_argument("--proposals", type=int, default=None,
                    help="config 4: override rpn_post_nms_top_n_test "
                    "(serving knob; default keeps reference parity at 300)")
@@ -544,13 +612,31 @@ def _run_raw_config(c, args):
             out["proposals"] = args.proposals
         print(json.dumps(out))
     elif c == 5:
-        ips = measure_teacher(batch=args.teacher_batch,
-                              rotation_mode=args.rotation_mode,
-                              dtype=args.teacher_dtype)
-        out = {
-            "metric": "teacher_label_images_per_sec_per_chip",
-            "value": round(ips, 1), "unit": "images/sec/chip",
-            "rotations": 21, "rotation_mode": args.rotation_mode}
+        if args.teacher_cascade is not None:
+            b = args.teacher_batch
+            t1, t2 = measure_teacher_cascade(
+                batch=b, pass1=args.teacher_cascade,
+                rotation_mode=args.rotation_mode, dtype=args.teacher_dtype)
+            eff = {f"eff_f{int(f * 100)}": round(b / (t1 + f * t2), 1)
+                   for f in (0.0, 0.25, 0.5, 0.75, 1.0)}
+            out = {
+                "metric": "teacher_label_cascade_images_per_sec_per_chip",
+                # headline at f=0.5 survival; the eff_f* grid spans the range
+                "value": eff["eff_f50"], "unit": "images/sec/chip",
+                "rotations": 21, "pass1_rotations": args.teacher_cascade,
+                "rotation_mode": args.rotation_mode,
+                "pass1_ms_per_batch": round(t1 * 1e3, 2),
+                "pass2_ms_per_batch": round(t2 * 1e3, 2),
+                "note": "exact keep set; t(f) = pass1 + f*pass2, "
+                        "f = pass-1 survival rate", **eff}
+        else:
+            ips = measure_teacher(batch=args.teacher_batch,
+                                  rotation_mode=args.rotation_mode,
+                                  dtype=args.teacher_dtype)
+            out = {
+                "metric": "teacher_label_images_per_sec_per_chip",
+                "value": round(ips, 1), "unit": "images/sec/chip",
+                "rotations": 21, "rotation_mode": args.rotation_mode}
         if args.teacher_batch != 8:
             out["batch"] = args.teacher_batch
         if args.teacher_dtype is not None:
@@ -651,6 +737,8 @@ def _measure_in_subprocess(c, args):
            "--teacher-batch", str(args.teacher_batch)]
     if args.teacher_dtype is not None:
         cmd += ["--teacher-dtype", args.teacher_dtype]
+    if args.teacher_cascade is not None:
+        cmd += ["--teacher-cascade", str(args.teacher_cascade)]
     if args.proposals is not None:
         cmd += ["--proposals", str(args.proposals)]
     if args.cpu_baseline and c == 2:
@@ -681,9 +769,11 @@ def _measure_in_subprocess(c, args):
     return None, "measurement produced no JSON line"
 
 
-def _emit_stale(c, reason):
+def _emit_stale(c, reason, args=None):
     """Print the last-known-good record for config `c`, marked stale."""
     metric = _METRIC_BY_CONFIG[c]
+    if c == 5 and args is not None and args.teacher_cascade is not None:
+        metric = "teacher_label_cascade_images_per_sec_per_chip"
     lkg = _load_lkg().get(metric)
     if lkg is not None:
         out = dict(lkg)
@@ -712,13 +802,13 @@ def main():
     ok, reason = _tpu_alive()
     for c in configs:
         if not ok:
-            _emit_stale(c, reason)
+            _emit_stale(c, reason, args)
             continue
         rec, why = _measure_in_subprocess(c, args)
         if rec is None:
             # tunnel may have died between probe and measurement: re-probe
             # once so remaining configs fail fast instead of re-timing out
-            _emit_stale(c, why)
+            _emit_stale(c, why, args)
             ok, reason = _tpu_alive()
             continue
         # refresh the cache only for default-shaped runs (non-default
@@ -726,7 +816,8 @@ def main():
         if (args.batch == BATCH and args.proposals is None
                 and args.rotation_mode == "factored"
                 and args.teacher_batch == 8
-                and args.teacher_dtype is None):
+                and args.teacher_dtype is None
+                and args.teacher_cascade is None):
             _store_lkg(rec)
         print(json.dumps(rec))
 

@@ -40,6 +40,15 @@ def build_argparser():
                         "variance filter accumulate in float32 either way "
                         "— keep-set equality vs float32 is tested, "
                         "tests/test_distill.py)")
+    p.add_argument("--cascade", action="store_true",
+                   help="two-pass early-reject filter: a provable subset "
+                        "variance bound rejects most non-keepable samples "
+                        "after --cascade-pass1 rotations, survivors get the "
+                        "full sweep — same keep set, fraction of the "
+                        "compute (distill/cascade.py)")
+    p.add_argument("--cascade-pass1", type=int, default=5,
+                   help="rotations in the early-reject pass (endpoints "
+                        "included)")
     return p
 
 
@@ -111,6 +120,19 @@ def main(argv=None):
             cfg.train.teacher_rotation_range, args.variance_threshold,
             cfg.model.input_shape, rotation_mode=args.rotation_mode)
 
+    runner = None
+    if args.cascade:
+        from hand_integral_pose_estimation_tpu.distill import CascadeRunner
+        runner = CascadeRunner(
+            teacher_apply, cfg.augment,
+            num_rotations=cfg.train.teacher_num_rotations,
+            rotation_range=cfg.train.teacher_rotation_range,
+            variance_threshold=args.variance_threshold,
+            patch_hw=cfg.model.input_shape,
+            rotation_mode=args.rotation_mode,
+            pass1_rotations=args.cascade_pass1,
+            pass2_batch=args.batch_size)
+
     results = {"joint_cam_normalized": [], "tprime": [], "variance": [],
                "keep": [], "labelled": []}
     from hand_integral_pose_estimation_tpu.data.freihand import (
@@ -135,14 +157,25 @@ def main(argv=None):
             bbox = jax.vmap(lambda u: bbox_mod.bbox_from_keypoints(
                 u, jnp.ones(u.shape[0]),
                 pad_factor=cfg.augment.pad_factor))(uv)
-        out = run_batch(images, K, bbox, labelled, joint_cam)
-        for k in ("joint_cam_normalized", "tprime", "variance", "keep"):
-            results[k].append(np.asarray(getattr(out, k)))
-        results["labelled"].append(np.asarray(labelled))
+        if runner is not None:
+            rows = np.where(idx == start + np.arange(bs), idx, -1)
+            runner.add_batch(images, K, bbox, labelled, joint_cam, rows)
+        else:
+            out = run_batch(images, K, bbox, labelled, joint_cam)
+            for k in ("joint_cam_normalized", "tprime", "variance", "keep"):
+                results[k].append(np.asarray(getattr(out, k)))
+            results["labelled"].append(np.asarray(labelled))
         if start % (20 * bs) == 0:
             print(f"{min(start + bs, n)}/{n} processed")
 
-    merged = {k: np.concatenate(v)[:n] for k, v in results.items()}
+    if runner is not None:
+        merged = runner.finalize(n)
+        s = runner.stats
+        print(f"cascade: {s['early_rejected']}/{s['total']} early-rejected "
+              f"after {args.cascade_pass1} rotations, {s['pass2']} took the "
+              f"full sweep, {s['labelled']} labelled")
+    else:
+        merged = {k: np.concatenate(v)[:n] for k, v in results.items()}
     # record identities for the load-time alignment check (rows are
     # positional; a sizing mismatch must fail loudly, not mislabel)
     from hand_integral_pose_estimation_tpu.data.detector_db import (

@@ -36,56 +36,37 @@ class FilteredLabels(NamedTuple):
     per_rotation: jnp.ndarray          # (B, T, J, 3) raw back-projections
 
 
-def generate_filtered_labels(
+def rotation_sweep_camera(
     teacher_apply: Callable[[jnp.ndarray], jnp.ndarray],
     images: jnp.ndarray,
     K: jnp.ndarray,
     bbox: jnp.ndarray,
-    labelled: jnp.ndarray,
-    joint_cam: jnp.ndarray,
-    acfg: AugmentConfig = AugmentConfig(),
-    num_rotations: int = 21,
-    rotation_range: float = 0.52,
-    variance_threshold: float = 1e-4,
+    acfg: AugmentConfig,
+    thetas,
+    cover_range: float,
     patch_hw=(224, 224),
     rotation_mode: str = "factored",
-) -> FilteredLabels:
-    """Variance-filtered pseudo-labels for one batch.
+):
+    """Per-rotation camera-frame teacher predictions for one batch.
 
-    Args:
-        teacher_apply: (N, ph, pw, 3) normalised patches -> (N, J, 3)
-            label-space coords (frozen teacher forward + integral decode).
-        images: (B, H, W, 3) RGB.
-        K: (B, 3, 3).
-        bbox: (B, 4) detector crop boxes (fixed across rotations, like the
-            reference's faster_rcnn_bbox).
-        labelled: (B,) — labelled samples keep their GT normalisation
-            (computed at theta = 0, :455-465) and are always kept.
-        joint_cam: (B, J, 3) GT joints (used for labelled rows only).
+    The shared core of the variance filter (single-pass and cascaded): warp
+    every (sample, theta) crop, run the teacher, back-project each
+    prediction to the normalised camera frame
+    (generate_filtered_teacher_labels.py:467-489 + convert_to_cam_coord,
+    :124-131). Returns (cam (B, T, J, 3), tprime (B,)).
 
-    The rotations are `num_rotations` evenly spaced z-axis angles over
-    [-rotation_range, rotation_range] (the reference's
-    np.arange(-0.52, 0.53, 0.05), :467).
-
-    rotation_mode selects the warp structure (same coordinate maps, two
-    factorings):
-      * "composed" — one warp per (sample, rotation): B*T resamples of the
-        FULL-SIZE source by trans @ K R K^-1. Weight-build cost (the VPU
-        bottleneck, PERFORMANCE.md) scales with Hs*Ws per warp.
-      * "factored" (default) — the expensive source-space crop is SHARED
-        across rotations: one axis-aligned warp per sample onto an S x S
-        base whose (traced) field of view covers every rotated crop —
-        the crop's circumscribed square plus the arc its centre sweeps
-        rotating about the principal point — then B*T small S -> patch
-        similarity warps H = trans @ (K R K^-1) @ transS^-1 that read
-        only real base content. The double resample changes the filter
-        the same way the reference's own rotate-then-crop double cv2
-        warp does (tested: tight agreement on smooth content).
+    `thetas` is a concrete 1-D angle array (any subset of the sweep — the
+    cascade runs disjoint subsets in separate passes). `cover_range` is the
+    FULL sweep's max |theta|: the factored base crop is sized for the whole
+    sweep regardless of which subset this call computes, so a rotation's
+    patch is bit-identical whether it is computed in a subset pass or in
+    the single-pass sweep.
     """
     B = images.shape[0]
     ph, pw = patch_hw
-    thetas = jnp.linspace(-rotation_range, rotation_range, num_rotations)
-    T = num_rotations
+    thetas = jnp.asarray(thetas)
+    T = thetas.shape[0]
+    rotation_range = cover_range
 
     Rz = rotation.rotation_z(thetas)                      # (T, 3, 3)
     trans = transforms.trans_from_patch(
@@ -161,6 +142,59 @@ def generate_filtered_labels(
     )(coords, trans_inv, K,
       jnp.broadcast_to(Rz, (B, T, 3, 3)),
       tprime)                                              # (B, T, J, 3)
+    return cam, tprime
+
+
+def generate_filtered_labels(
+    teacher_apply: Callable[[jnp.ndarray], jnp.ndarray],
+    images: jnp.ndarray,
+    K: jnp.ndarray,
+    bbox: jnp.ndarray,
+    labelled: jnp.ndarray,
+    joint_cam: jnp.ndarray,
+    acfg: AugmentConfig = AugmentConfig(),
+    num_rotations: int = 21,
+    rotation_range: float = 0.52,
+    variance_threshold: float = 1e-4,
+    patch_hw=(224, 224),
+    rotation_mode: str = "factored",
+) -> FilteredLabels:
+    """Variance-filtered pseudo-labels for one batch.
+
+    Args:
+        teacher_apply: (N, ph, pw, 3) normalised patches -> (N, J, 3)
+            label-space coords (frozen teacher forward + integral decode).
+        images: (B, H, W, 3) RGB.
+        K: (B, 3, 3).
+        bbox: (B, 4) detector crop boxes (fixed across rotations, like the
+            reference's faster_rcnn_bbox).
+        labelled: (B,) — labelled samples keep their GT normalisation
+            (computed at theta = 0, :455-465) and are always kept.
+        joint_cam: (B, J, 3) GT joints (used for labelled rows only).
+
+    The rotations are `num_rotations` evenly spaced z-axis angles over
+    [-rotation_range, rotation_range] (the reference's
+    np.arange(-0.52, 0.53, 0.05), :467).
+
+    rotation_mode selects the warp structure (same coordinate maps, two
+    factorings):
+      * "composed" — one warp per (sample, rotation): B*T resamples of the
+        FULL-SIZE source by trans @ K R K^-1. Weight-build cost (the VPU
+        bottleneck, PERFORMANCE.md) scales with Hs*Ws per warp.
+      * "factored" (default) — the expensive source-space crop is SHARED
+        across rotations: one axis-aligned warp per sample onto an S x S
+        base whose (traced) field of view covers every rotated crop —
+        the crop's circumscribed square plus the arc its centre sweeps
+        rotating about the principal point — then B*T small S -> patch
+        similarity warps H = trans @ (K R K^-1) @ transS^-1 that read
+        only real base content. The double resample changes the filter
+        the same way the reference's own rotate-then-crop double cv2
+        warp does (tested: tight agreement on smooth content).
+    """
+    thetas = jnp.linspace(-rotation_range, rotation_range, num_rotations)
+    cam, tprime = rotation_sweep_camera(
+        teacher_apply, images, K, bbox, acfg, thetas, rotation_range,
+        patch_hw, rotation_mode)
 
     variance = jnp.var(cam, axis=1).sum(axis=(-2, -1))     # (B,)
     mean_pred = cam.mean(axis=1)                           # (B, J, 3)

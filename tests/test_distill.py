@@ -254,16 +254,27 @@ class TestTeacherDtype:
     def test_bf16_keep_set_matches_fp32(self):
         rng = np.random.RandomState(7)
         imgs, joints, Ks, bbox = _setup(rng, B=4)
+        # place the threshold between the middle two f32 variances so the
+        # keep set is mixed BY CONSTRUCTION — the property under test is
+        # that bf16 doesn't flip decisions near the operating threshold,
+        # and the fixture's variance spread (~1e-4, backend-dependent in
+        # the 4th digit) must not decide the test
+        probe = generate_filtered_labels(
+            self._teacher("float32"), imgs, Ks, bbox,
+            jnp.zeros(4, bool), joints, num_rotations=5, patch_hw=(32, 32))
+        vs = np.sort(np.asarray(probe.variance))
+        threshold = float((vs[1] + vs[2]) / 2)
+        # the margin assertion below (dv < 1e-6) only means something if
+        # the threshold sits well clear of every variance
+        assert np.abs(vs - threshold).min() > 5e-6, vs
         out = {}
         for dt in ("float32", "bfloat16"):
             out[dt] = generate_filtered_labels(
                 self._teacher(dt), imgs, Ks, bbox,
                 jnp.zeros(4, bool), joints, num_rotations=5,
-                patch_hw=(32, 32))
+                variance_threshold=threshold, patch_hw=(32, 32))
         f32, bf16 = out["float32"], out["bfloat16"]
         keep = np.asarray(f32.keep)
-        # the fixture must exercise BOTH filter outcomes or the equality
-        # below is vacuous
         assert keep.any() and not keep.all(), keep
         np.testing.assert_array_equal(keep, np.asarray(bf16.keep))
         # margin statement: the bf16-induced variance shift is orders of
@@ -273,6 +284,164 @@ class TestTeacherDtype:
         np.testing.assert_allclose(np.asarray(bf16.joint_cam_normalized),
                                    np.asarray(f32.joint_cam_normalized),
                                    atol=2e-3)
+
+
+class TestCascade:
+    """Early-reject cascade (distill/cascade.py): the subset variance bound
+    Var_T >= (n/T)*Var_S makes the two-pass filter's keep set EXACTLY the
+    single-pass keep set while skipping the full sweep for most rejected
+    samples."""
+
+    @staticmethod
+    def _content_teacher(patches):
+        """Deterministic function of patch CONTENT (the cascade shows the
+        teacher each rotation in different passes, so positional oracles
+        don't apply): a corner statistic that moves under rotation for
+        structured content and stays put for constant content."""
+        # channel 0 only: the fixture's x-ramp gives the corner statistic a
+        # FIRST-order response to rotation (channel-averaged diagonal ramps
+        # cancel at first order and barely move)
+        corner = patches[:, :16, :16, 0].mean(axis=(1, 2)) / 255.0
+        full = patches[..., 0].mean(axis=(1, 2)) / 255.0
+        # a patch-space-constant prediction still picks up ~0.01 camera
+        # variance from the back-projection geometry alone (each rotation
+        # re-projects through a different R_z); the amplified corner-full
+        # contrast on the x/y label dims pushes structured-content rows
+        # decades above that so the fixture separates keeps from
+        # (early-)rejects, while it is EXACTLY zero on constant content
+        diff = 200.0 * (corner - full)
+        base = jnp.stack([diff, -diff, corner], axis=-1)
+        scale = jnp.linspace(0.2, 1.0, 21)[None, :, None]
+        return base[:, None, :] * scale + 0.25
+
+    def _mixed_setup(self, rng, B=6):
+        """Half constant images (zero content variance -> kept), half ramp
+        images whose corner statistic swings hard under rotation ->
+        rejected, far past the early-reject cutoff."""
+        hw = 96
+        y, x = np.mgrid[0:hw, 0:hw].astype(np.float32) * (255.0 / hw)
+        ramp = np.stack([x, y, (x + y) / 2], axis=-1)
+        imgs = np.empty((B, hw, hw, 3), np.float32)
+        for b in range(B):
+            if b % 2 == 0:
+                imgs[b] = 40.0 + 20.0 * b
+            else:
+                imgs[b] = ramp
+        K = np.asarray([[200.0, 0., hw / 2], [0., 200.0, hw / 2],
+                        [0., 0., 1.]], np.float32)
+        Ks = np.broadcast_to(K, (B, 3, 3))
+        cxy = hw / 2 + rng.uniform(-4, 4, (B, 2))
+        wh = rng.uniform(28, 36, (B, 2))
+        bbox = np.concatenate([cxy, wh], axis=1).astype(np.float32)
+        joints = np.asarray(np.array([0., 0., 0.45])
+                            + rng.uniform(-0.03, 0.03, (B, 21, 3)),
+                            np.float32)
+        return imgs, joints, Ks, bbox
+
+    def test_variance_lower_bound_property(self, rng):
+        x = rng.randn(50, 21, 21, 3)
+        varT = x.var(axis=1).sum(axis=(-2, -1))
+        for n in (1, 5, 13, 21):
+            idx = np.sort(rng.choice(21, n, replace=False))
+            varS = x[:, idx].var(axis=1).sum(axis=(-2, -1))
+            assert np.all((n / 21) * varS <= varT + 1e-12)
+
+    def test_pass1_indices(self):
+        from hand_integral_pose_estimation_tpu.distill import (
+            pass1_rotation_indices,
+        )
+        np.testing.assert_array_equal(pass1_rotation_indices(21, 5),
+                                      [0, 5, 10, 15, 20])
+        np.testing.assert_array_equal(pass1_rotation_indices(21, 2), [0, 20])
+        np.testing.assert_array_equal(pass1_rotation_indices(9, 9),
+                                      np.arange(9))
+        for bad in (0, 22):
+            try:
+                pass1_rotation_indices(21, bad)
+                raise AssertionError("expected ValueError")
+            except ValueError:
+                pass
+
+    # between the ~0.009 geometric variance of constant rows and the ~0.3
+    # content variance of noise rows (same role as the reference's 1e-4 on
+    # real teachers — the groups sit decades apart either way)
+    THRESHOLD = 0.02
+
+    def _run_both(self, rng, labelled_mask, pass1_rotations, T=9):
+        from hand_integral_pose_estimation_tpu.distill import CascadeRunner
+        imgs, joints, Ks, bbox = self._mixed_setup(rng)
+        B = imgs.shape[0]
+        single = generate_filtered_labels(
+            self._content_teacher, jnp.asarray(imgs), jnp.asarray(Ks),
+            jnp.asarray(bbox), jnp.asarray(labelled_mask),
+            jnp.asarray(joints), num_rotations=T,
+            variance_threshold=self.THRESHOLD, patch_hw=(32, 32))
+        runner = CascadeRunner(
+            self._content_teacher, num_rotations=T,
+            variance_threshold=self.THRESHOLD,
+            pass1_rotations=pass1_rotations, pass2_batch=3,
+            patch_hw=(32, 32))
+        # two fixed-shape batches of 3, second one padded with a dup row
+        runner.add_batch(imgs[:3], Ks[:3], bbox[:3], labelled_mask[:3],
+                         joints[:3], rows=[0, 1, 2])
+        pad = np.concatenate([imgs[3:], imgs[5:]])
+        runner.add_batch(pad, np.concatenate([Ks[3:], Ks[5:]]),
+                         np.concatenate([bbox[3:], bbox[5:]]),
+                         np.concatenate([labelled_mask[3:],
+                                         labelled_mask[5:]]),
+                         np.concatenate([joints[3:], joints[5:]]),
+                         rows=[3, 4, 5, -1])
+        merged = runner.finalize(B)
+        return single, merged, runner
+
+    def test_keep_set_and_labels_match_single_pass(self, rng):
+        labelled = np.zeros(6, bool)
+        single, merged, runner = self._run_both(rng, labelled, 3)
+        keep1 = np.asarray(single.keep)
+        assert keep1.any() and not keep1.all(), keep1
+        np.testing.assert_array_equal(merged["keep"], keep1)
+        # the noisy rows must exercise the early-reject path
+        assert runner.stats["early_rejected"] >= 1, runner.stats
+        assert (runner.stats["early_rejected"] + runner.stats["pass2"]
+                == runner.stats["total"])
+        # kept rows: pseudo-labels and exact variance agree with the
+        # single-pass filter (f64 host combine vs fp32 device var)
+        full = ~merged["early_rejected"]
+        np.testing.assert_allclose(
+            merged["joint_cam_normalized"][keep1],
+            np.asarray(single.joint_cam_normalized)[keep1],
+            rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(
+            merged["variance"][full], np.asarray(single.variance)[full],
+            rtol=1e-3, atol=1e-9)
+        # early-rejected rows store the LOWER BOUND, which must not exceed
+        # the true variance
+        lb = merged["variance"][merged["early_rejected"]]
+        true = np.asarray(single.variance)[merged["early_rejected"]]
+        assert np.all(lb <= true * (1 + 1e-5))
+
+    def test_labelled_rows_finish_in_pass1(self, rng):
+        labelled = np.asarray([True, False, True, False, False, False])
+        single, merged, runner = self._run_both(rng, labelled, 3)
+        np.testing.assert_array_equal(merged["keep"],
+                                      np.asarray(single.keep))
+        assert runner.stats["labelled"] == 2
+        np.testing.assert_allclose(
+            merged["joint_cam_normalized"][labelled],
+            np.asarray(single.joint_cam_normalized)[labelled],
+            rtol=1e-5, atol=1e-7)
+        np.testing.assert_array_equal(merged["variance"][labelled], 0.0)
+
+    def test_single_pass_degenerate_cascade(self, rng):
+        """pass1_rotations == num_rotations: no pass 2, decisions exact."""
+        labelled = np.zeros(6, bool)
+        single, merged, runner = self._run_both(rng, labelled, 9, T=9)
+        np.testing.assert_array_equal(merged["keep"],
+                                      np.asarray(single.keep))
+        assert runner.stats["pass2"] == 0
+        np.testing.assert_allclose(merged["variance"],
+                                   np.asarray(single.variance),
+                                   rtol=1e-3, atol=1e-9)
 
 
 class TestPANetTrainer:

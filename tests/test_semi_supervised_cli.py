@@ -72,6 +72,43 @@ def test_filtered_db_pipeline_on_fixture(tmp_path):
 
 
 @run_slow
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(FIXTURE, "training_K.json")),
+    reason="freihand_mini fixture absent")
+def test_cascade_cli_matches_single_pass(tmp_path):
+    """--cascade through the CLI: same keep set and same kept pseudo-labels
+    as the single-pass filter on the real-format fixture (same
+    deterministic smoke-mode teacher), tail batch included."""
+    import numpy as np
+
+    from hand_integral_pose_estimation_tpu.cli.generate_teacher_labels \
+        import main as gen_main
+
+    common = ["--data-dir", FIXTURE, "--training-size", "6",
+              "--batch-size", "7"]
+    db1 = str(tmp_path / "single.npz")
+    db2 = str(tmp_path / "cascade.npz")
+    gen_main(common + ["--out", db1])
+    gen_main(common + ["--out", db2, "--cascade", "--cascade-pass1", "5"])
+    single, casc = np.load(db1), np.load(db2)
+    assert len(casc["keep"]) == 24
+    np.testing.assert_array_equal(casc["keep"], single["keep"])
+    np.testing.assert_array_equal(casc["name"], single["name"])
+    full = ~casc["early_rejected"]
+    np.testing.assert_allclose(casc["variance"][full],
+                               single["variance"][full],
+                               rtol=1e-3, atol=1e-8)
+    kept = single["keep"]
+    np.testing.assert_allclose(casc["joint_cam_normalized"][kept],
+                               single["joint_cam_normalized"][kept],
+                               rtol=1e-4, atol=1e-6)
+    # early-rejected rows: the stored lower bound never exceeds the truth
+    er = casc["early_rejected"]
+    assert np.all(casc["variance"][er]
+                  <= single["variance"][er] * (1 + 1e-5))
+
+
+@run_slow
 def test_semi_supervised_pipeline(tmp_path):
     from hand_integral_pose_estimation_tpu.cli.train import (
         main as train_main,
