@@ -49,6 +49,13 @@ def build_argparser():
     p.add_argument("--cascade-pass1", type=int, default=5,
                    help="rotations in the early-reject pass (endpoints "
                         "included)")
+    p.add_argument("--mesh", default="none",
+                   help="'auto' | 'none' | 'data=N[,model=M]': shard each "
+                        "generation batch over the mesh's data axis (the "
+                        "sweep runs in one shard_map region per batch; the "
+                        "reference's DataParallel teacher filter loop, "
+                        "generate_filtered_teacher_labels.py:403-509). "
+                        "--batch-size must divide by the data-axis size")
     return p
 
 
@@ -112,13 +119,19 @@ def main(argv=None):
                          patches, train=False)
         return softmax_integral(hm, J, D)
 
+    from hand_integral_pose_estimation_tpu.cli.mesh_arg import (
+        resolve_eval_mesh,
+    )
+    mesh = resolve_eval_mesh(args.mesh, args.batch_size)
+
     @jax.jit
     def run_batch(images, K, bbox, labelled, joint_cam):
         return generate_filtered_labels(
             teacher_apply, images, K, bbox, labelled, joint_cam,
             cfg.augment, cfg.train.teacher_num_rotations,
             cfg.train.teacher_rotation_range, args.variance_threshold,
-            cfg.model.input_shape, rotation_mode=args.rotation_mode)
+            cfg.model.input_shape, rotation_mode=args.rotation_mode,
+            mesh=mesh)
 
     runner = None
     if args.cascade:
@@ -131,7 +144,8 @@ def main(argv=None):
             patch_hw=cfg.model.input_shape,
             rotation_mode=args.rotation_mode,
             pass1_rotations=args.cascade_pass1,
-            pass2_batch=args.batch_size)
+            pass2_batch=args.batch_size,
+            mesh=mesh)
 
     results = {"joint_cam_normalized": [], "tprime": [], "variance": [],
                "keep": [], "labelled": []}

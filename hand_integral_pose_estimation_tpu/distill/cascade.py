@@ -74,6 +74,11 @@ class CascadeRunner:
     each record lands in the output db); call `finalize(n)` for the
     assembled arrays. Pass-1 runs immediately per batch; pass-2 survivors
     are queued and flushed in fixed-size batches (fixed device shapes).
+
+    With `mesh`, both passes' rotation sweeps run sharded over the mesh's
+    `data` axis (rotation_sweep_camera's shard_map path); the host-side
+    bound test, queueing and f64 combine are unchanged. Every add_batch
+    batch and `pass2_batch` must divide by the data-axis size.
     """
 
     def __init__(
@@ -89,11 +94,17 @@ class CascadeRunner:
         pass1_rotations: int = 5,
         pass2_batch: int = 8,
         safety: float = 1e-3,
+        mesh=None,
+        data_axis: str = "data",
     ):
         self.num_rotations = num_rotations
         self.variance_threshold = variance_threshold
         self.safety = safety
         self.pass2_batch = pass2_batch
+        if mesh is not None and pass2_batch % mesh.shape[data_axis]:
+            raise ValueError(
+                f"pass2_batch {pass2_batch} must divide by the mesh "
+                f"{data_axis!r}-axis size {mesh.shape[data_axis]}")
 
         thetas = np.linspace(-rotation_range, rotation_range, num_rotations)
         self.idx1 = pass1_rotation_indices(num_rotations, pass1_rotations)
@@ -104,7 +115,7 @@ class CascadeRunner:
         def _pass1(images, K, bbox, joint_cam):
             cam1, tprime = rotation_sweep_camera(
                 teacher_apply, images, K, bbox, acfg, th1, rotation_range,
-                patch_hw, rotation_mode)
+                patch_hw, rotation_mode, mesh=mesh, data_axis=data_axis)
             # labelled rows: GT normalisation at theta = 0 (:455-465)
             _, z, _ = jax.vmap(camera_project)(joint_cam, K)
             gt_norm = joint_cam * (tprime / z[..., 9])[:, None, None]
@@ -113,7 +124,7 @@ class CascadeRunner:
         def _pass2(images, K, bbox):
             cam2, _ = rotation_sweep_camera(
                 teacher_apply, images, K, bbox, acfg, th2, rotation_range,
-                patch_hw, rotation_mode)
+                patch_hw, rotation_mode, mesh=mesh, data_axis=data_axis)
             return cam2
 
         self._pass1 = jax.jit(_pass1)

@@ -46,6 +46,8 @@ def rotation_sweep_camera(
     cover_range: float,
     patch_hw=(224, 224),
     rotation_mode: str = "factored",
+    mesh=None,
+    data_axis: str = "data",
 ):
     """Per-rotation camera-frame teacher predictions for one batch.
 
@@ -61,7 +63,32 @@ def rotation_sweep_camera(
     sweep regardless of which subset this call computes, so a rotation's
     patch is bit-identical whether it is computed in a subset pass or in
     the single-pass sweep.
+
+    With `mesh`, the WHOLE sweep (warps -> teacher forward ->
+    back-projection) runs inside one shard_map region with the batch
+    partitioned over `data_axis` — embarrassingly parallel per sample, no
+    collectives, and the Pallas warp/decode kernels stay partitioned
+    instead of hitting the SPMD partitioner's replicated fallback around
+    opaque pallas_calls (parallel/shard_ops.py rationale). The teacher
+    weights ride in as closed-over replicated constants, matching the
+    reference's DataParallel teacher in its filter loop
+    (generate_filtered_teacher_labels.py:403-509).
     """
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        if images.shape[0] % mesh.shape[data_axis]:
+            raise ValueError(
+                f"batch {images.shape[0]} must divide by the mesh "
+                f"{data_axis!r}-axis size {mesh.shape[data_axis]}")
+        d = P(data_axis)
+
+        def body(im, Ki, bb):
+            return rotation_sweep_camera(
+                teacher_apply, im, Ki, bb, acfg, thetas, cover_range,
+                patch_hw, rotation_mode)
+        return jax.shard_map(body, mesh=mesh, in_specs=(d, d, d),
+                             out_specs=(d, d),
+                             check_vma=False)(images, K, bbox)
     B = images.shape[0]
     ph, pw = patch_hw
     thetas = jnp.asarray(thetas)
@@ -158,6 +185,8 @@ def generate_filtered_labels(
     variance_threshold: float = 1e-4,
     patch_hw=(224, 224),
     rotation_mode: str = "factored",
+    mesh=None,
+    data_axis: str = "data",
 ) -> FilteredLabels:
     """Variance-filtered pseudo-labels for one batch.
 
@@ -190,7 +219,30 @@ def generate_filtered_labels(
         only real base content. The double resample changes the filter
         the same way the reference's own rotate-then-crop double cv2
         warp does (tested: tight agreement on smooth content).
+
+    With `mesh`, the whole per-batch filter program is partitioned over
+    `data_axis` in one shard_map region (see rotation_sweep_camera) —
+    the mesh equivalent of the reference running its filter loop under
+    DataParallel; outputs gather when the host fetches them.
     """
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        if images.shape[0] % mesh.shape[data_axis]:
+            raise ValueError(
+                f"batch {images.shape[0]} must divide by the mesh "
+                f"{data_axis!r}-axis size {mesh.shape[data_axis]}")
+        d = P(data_axis)
+
+        def body(im, Ki, bb, lab, jc):
+            return generate_filtered_labels(
+                teacher_apply, im, Ki, bb, lab, jc, acfg, num_rotations,
+                rotation_range, variance_threshold, patch_hw,
+                rotation_mode)
+        # out_specs is a pytree prefix: every FilteredLabels field is
+        # batch-leading
+        return jax.shard_map(body, mesh=mesh, in_specs=(d, d, d, d, d),
+                             out_specs=d, check_vma=False)(
+            images, K, bbox, labelled, joint_cam)
     thetas = jnp.linspace(-rotation_range, rotation_range, num_rotations)
     cam, tprime = rotation_sweep_camera(
         teacher_apply, images, K, bbox, acfg, thetas, rotation_range,

@@ -444,6 +444,82 @@ class TestCascade:
                                    rtol=1e-3, atol=1e-9)
 
 
+class TestMeshFilter:
+    """`mesh=` on the teacher filter: the whole per-batch program (warps ->
+    teacher -> back-projection -> variance) sharded over `data` must match
+    the single-device filter — same program, partitioned batch (the
+    reference's DataParallel teacher in its filter loop,
+    generate_filtered_teacher_labels.py:403-509)."""
+
+    def _fixture(self, rng, B):
+        imgs, joints, Ks, bbox = TestCascade()._mixed_setup(rng, B=B)
+        labelled = np.zeros(B, bool)
+        labelled[0] = True
+        return imgs, joints, Ks, bbox, labelled
+
+    def test_single_pass_matches_single_device(self, rng):
+        from hand_integral_pose_estimation_tpu.parallel import make_mesh
+        imgs, joints, Ks, bbox, labelled = self._fixture(rng, 8)
+        kw = dict(num_rotations=9, variance_threshold=TestCascade.THRESHOLD,
+                  patch_hw=(32, 32))
+        args = (TestCascade._content_teacher, jnp.asarray(imgs),
+                jnp.asarray(Ks), jnp.asarray(bbox), jnp.asarray(labelled),
+                jnp.asarray(joints))
+        single = generate_filtered_labels(*args, **kw)
+        mesh = make_mesh()          # data=8: one sample per device
+        assert mesh.shape["data"] == 8
+        sharded = generate_filtered_labels(*args, mesh=mesh, **kw)
+        np.testing.assert_array_equal(np.asarray(sharded.keep),
+                                      np.asarray(single.keep))
+        for field in ("joint_cam_normalized", "tprime", "variance",
+                      "per_rotation"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(sharded, field)),
+                np.asarray(getattr(single, field)),
+                rtol=1e-6, atol=1e-9, err_msg=field)
+
+    def test_cascade_matches_single_device(self, rng):
+        import jax as _jax
+        from hand_integral_pose_estimation_tpu.distill import CascadeRunner
+        from hand_integral_pose_estimation_tpu.parallel import make_mesh
+        imgs, joints, Ks, bbox, labelled = self._fixture(rng, 8)
+        mesh = make_mesh(devices=_jax.devices()[:4])     # data=4
+        outs = {}
+        for m in (None, mesh):
+            runner = CascadeRunner(
+                TestCascade._content_teacher, num_rotations=9,
+                variance_threshold=TestCascade.THRESHOLD,
+                pass1_rotations=3, pass2_batch=4, patch_hw=(32, 32),
+                mesh=m)
+            for s in (0, 4):
+                runner.add_batch(imgs[s:s+4], Ks[s:s+4], bbox[s:s+4],
+                                 labelled[s:s+4], joints[s:s+4],
+                                 rows=np.arange(s, s + 4))
+            outs[m is None] = runner.finalize(8)
+        single, sharded = outs[True], outs[False]
+        np.testing.assert_array_equal(sharded["keep"], single["keep"])
+        np.testing.assert_array_equal(sharded["early_rejected"],
+                                      single["early_rejected"])
+        for field in ("joint_cam_normalized", "tprime", "variance"):
+            np.testing.assert_allclose(sharded[field], single[field],
+                                       rtol=1e-6, atol=1e-9, err_msg=field)
+
+    def test_indivisible_batch_raises(self, rng):
+        import jax as _jax
+        from hand_integral_pose_estimation_tpu.parallel import make_mesh
+        imgs, joints, Ks, bbox, labelled = self._fixture(rng, 6)
+        mesh = make_mesh(devices=_jax.devices()[:4])
+        try:
+            generate_filtered_labels(
+                TestCascade._content_teacher, jnp.asarray(imgs),
+                jnp.asarray(Ks), jnp.asarray(bbox), jnp.asarray(labelled),
+                jnp.asarray(joints), num_rotations=9, patch_hw=(32, 32),
+                mesh=mesh)
+            raise AssertionError("expected ValueError")
+        except ValueError as e:
+            assert "divide" in str(e)
+
+
 class TestPANetTrainer:
     def test_loss_decreases(self, rng):
         pts = rng.randn(64, 21, 3).astype(np.float32) * 0.05
