@@ -130,6 +130,12 @@ class CascadeRunner:
         self._pass1 = jax.jit(_pass1)
         self._pass2 = jax.jit(_pass2) if len(th2) else None
 
+        self.reset()
+
+    def reset(self) -> None:
+        """Clear accumulated rows/queue/stats, keeping the compiled passes
+        (a fresh CascadeRunner would retrace + recompile both sweeps —
+        repeat sweeps, e.g. warm-timed studies, reuse one runner)."""
         self._rows: dict[int, dict] = {}
         self._queue: list[dict] = []
         self.stats = {"total": 0, "labelled": 0, "early_rejected": 0,
@@ -162,7 +168,7 @@ class CascadeRunner:
                 self._rows[int(row)] = dict(
                     joint_cam_normalized=gt_norm[b], tprime=tprime[b],
                     variance=0.0, keep=True, labelled=True,
-                    early_rejected=False)
+                    early_rejected=False, pass1_bound=0.0)
             elif bound[b] > cutoff or self._pass2 is None:
                 # pass2-less cascade (pass1_rotations == num_rotations):
                 # bound == exact variance, so this branch decides exactly
@@ -175,12 +181,13 @@ class CascadeRunner:
                     tprime=tprime[b],
                     variance=var1[b] if self._pass2 is None else bound[b],
                     keep=keep, labelled=False,
-                    early_rejected=self._pass2 is not None)
+                    early_rejected=self._pass2 is not None,
+                    pass1_bound=bound[b])
             else:
                 self._queue.append(dict(
                     row=int(row), image=np.asarray(images)[b],
                     K=np.asarray(K)[b], bbox=np.asarray(bbox)[b],
-                    cam1=cam1[b], tprime=tprime[b]))
+                    cam1=cam1[b], tprime=tprime[b], pass1_bound=bound[b]))
                 while len(self._queue) >= self.pass2_batch:
                     self._flush(self.pass2_batch)
 
@@ -203,7 +210,7 @@ class CascadeRunner:
             self._rows[q["row"]] = dict(
                 joint_cam_normalized=cam.mean(axis=0), tprime=q["tprime"],
                 variance=variance, keep=keep, labelled=False,
-                early_rejected=False)
+                early_rejected=False, pass1_bound=q["pass1_bound"])
 
     def finalize(self, n: int) -> dict:
         """Flush the queue and assemble length-`n` output arrays (the npz
@@ -223,4 +230,9 @@ class CascadeRunner:
             "labelled": np.asarray([r["labelled"] for r in rows], bool),
             "early_rejected": np.asarray(
                 [r["early_rejected"] for r in rows], bool),
+            # (n/T)-scaled pass-1 lower bound on the full variance (0 for
+            # labelled rows) — lets studies read pass-1 survival at ANY
+            # threshold t (bound <= t*(1+safety)) without a re-sweep
+            "pass1_bound": np.asarray(
+                [r["pass1_bound"] for r in rows], np.float32),
         }

@@ -432,6 +432,45 @@ class TestCascade:
             rtol=1e-5, atol=1e-7)
         np.testing.assert_array_equal(merged["variance"][labelled], 0.0)
 
+    def test_reset_reuse_and_pass1_bound(self, rng):
+        """`reset()` lets one runner (compiled passes kept) run a second
+        sweep with identical results; `pass1_bound` stores the (n/T)-scaled
+        pass-1 lower bound (0 for labelled rows, never above the true
+        variance, and consistent with the early-reject decision)."""
+        labelled = np.asarray([True, False, False, False, False, False])
+        single, merged, runner = self._run_both(rng, labelled, 3)
+
+        # bound semantics
+        np.testing.assert_array_equal(merged["pass1_bound"][labelled], 0.0)
+        unlab = ~labelled
+        true_var = np.asarray(single.variance)[unlab]
+        assert np.all(merged["pass1_bound"][unlab]
+                      <= true_var * (1 + 1e-5))
+        cutoff = runner.variance_threshold * (1 + runner.safety)
+        np.testing.assert_array_equal(
+            merged["early_rejected"], merged["pass1_bound"] > cutoff)
+
+        # reset + re-feed the SAME runner with the same rows: identical
+        # output (the compiled _pass1/_pass2 survive the reset)
+        imgs, joints, Ks, bbox = self._mixed_setup(
+            np.random.RandomState(20260816))
+        runner.reset()
+        assert runner.stats["total"] == 0 and not runner._rows
+        runner.add_batch(imgs[:3], Ks[:3], bbox[:3], labelled[:3],
+                         joints[:3], rows=[0, 1, 2])
+        # same padded second batch as the first sweep (identical shapes ->
+        # identical compiled executables -> bitwise-identical rows)
+        runner.add_batch(
+            np.concatenate([imgs[3:], imgs[5:]]),
+            np.concatenate([Ks[3:], Ks[5:]]),
+            np.concatenate([bbox[3:], bbox[5:]]),
+            np.concatenate([labelled[3:], labelled[5:]]),
+            np.concatenate([joints[3:], joints[5:]]), rows=[3, 4, 5, -1])
+        merged2 = runner.finalize(6)
+        for k in merged:
+            np.testing.assert_allclose(merged2[k], merged[k],
+                                       rtol=0, atol=0, err_msg=k)
+
     def test_single_pass_degenerate_cascade(self, rng):
         """pass1_rotations == num_rotations: no pass 2, decisions exact."""
         labelled = np.zeros(6, bool)

@@ -165,6 +165,24 @@ def test_study_subset_view():
 
 
 @run_slow
+def test_filter_cascade_study_tiny_end_to_end():
+    """The cascade-survival study runs end-to-end at toy scale: trains a
+    tiny teacher, filters a pool twice (single-pass vs cascade), asserts
+    keep-set equality internally, and reports survival + wall numbers."""
+    from hand_integral_pose_estimation_tpu.cli.filter_cascade_study import (
+        main,
+    )
+
+    rec = main(["--n", "8", "--pool", "16", "--teacher-steps", "2",
+                "--batch-size", "4", "--pose-resnet", "18",
+                "--pose-input", "32", "--cascade-pass1", "5"])
+    assert rec["keep_sets_equal"] is True
+    assert 0.0 <= rec["pass1_survival"] <= 1.0
+    assert 0.0 <= rec["keep_rate"] <= 1.0
+    assert rec["wall_single_s"] > 0 and rec["wall_cascade_s"] > 0
+
+
+@run_slow
 def test_study_tiny_end_to_end(tmp_path):
     """The three-arm study runs end-to-end at toy scale and reports the
     summary record (numbers are meaningless at these step counts — this
