@@ -69,9 +69,16 @@ def _pose_inputs(batch):
     return images, joints, K, ref_len
 
 
-def _diff_timed(loop_fn, n_steps=STEPS, reps=5):
+def _diff_timed(loop_fn, n_steps=STEPS, reps=5, min_signal=0.25):
     """Time `loop_fn(n)` at two loop lengths and difference: per-iteration
-    seconds with RPC latency and warmup cancelled."""
+    seconds with RPC latency and warmup cancelled.
+
+    If the differenced signal is below `min_signal` seconds (or negative —
+    both happen when per-iteration device time is small vs the ~35 ms
+    tunnel RPC jitter, e.g. the native-224 detector at ~1 ms/iter), the
+    long loop length escalates 8x (bounded) until the signal clears the
+    noise floor. Each escalation costs one extra remote compile (the loop
+    length is a static jit arg)."""
     def timed(n):
         loop_fn(n)                      # compile + warm
         best = float("inf")
@@ -81,8 +88,11 @@ def _diff_timed(loop_fn, n_steps=STEPS, reps=5):
             best = min(best, time.perf_counter() - t0)
         return best
     t_short = timed(1)
-    t_long = timed(1 + n_steps)
-    return (t_long - t_short) / n_steps
+    while True:
+        t_long = timed(1 + n_steps)
+        if t_long - t_short >= min_signal or n_steps >= 4096:
+            return (t_long - t_short) / n_steps
+        n_steps *= 8
 
 
 def measure_inference(batch=BATCH):
@@ -188,9 +198,16 @@ def _detector_images(batch, size):
     return jnp.asarray(ds.images.astype(np.float32))
 
 
-def measure_detector(batch=4, size=600, resnet_type=101, proposals=None):
+def measure_detector(batch=4, size=600, resnet_type=101, proposals=None,
+                     native=False):
     """Config #4: the full two-stage detection call (blob -> R101-C4 ->
-    RPN -> NMS proposals -> ROIAlign -> head -> decode -> class NMS)."""
+    RPN -> NMS proposals -> ROIAlign -> head -> decode -> class NMS).
+
+    native=True swaps in the in-tree from-scratch recipe
+    (cli/detector_convergence.study_config: GN backbone, small-hand anchor
+    scales, 64 post-NMS proposals) sized at `size` — the same config the
+    config-6 native-scale serving bound uses, so the two numbers compose."""
+    import dataclasses
     import functools
 
     import jax
@@ -201,10 +218,15 @@ def measure_detector(batch=4, size=600, resnet_type=101, proposals=None):
     )
     from hand_integral_pose_estimation_tpu.detect.hand_detector import detect
 
-    kw = {} if proposals is None else dict(
-        rpn_post_nms_top_n_test=proposals)
-    cfg = DetectorConfig(resnet_type=resnet_type, test_scale=size,
-                         test_max_size=size, **kw)
+    if native:
+        cfg = DetectorConfig.native(size, resnet_type)
+        if proposals is not None:
+            cfg = dataclasses.replace(cfg, rpn_post_nms_top_n_test=proposals)
+    else:
+        kw = {} if proposals is None else dict(
+            rpn_post_nms_top_n_test=proposals)
+        cfg = DetectorConfig(resnet_type=resnet_type, test_scale=size,
+                             test_max_size=size, **kw)
     model = FasterRCNN(cfg=cfg)
     images = _detector_images(batch, size)
     variables = model.init(
@@ -351,7 +373,8 @@ def measure_teacher_cascade(batch=8, pass1=5, num_rotations=21,
     return t1, t2
 
 
-def measure_serving_two_program(batch=4, proposals=None):
+def measure_serving_two_program(batch=4, proposals=None, native_scale=None,
+                                detector_resnet=None):
     """Config #6: bound the monolithic TwoStagePipeline (whose single MLIR
     the axon tunnel rejects with HTTP 413, PERFORMANCE.md) as the SUM of
     two loop-differenced programs over the same realistic images:
@@ -383,6 +406,19 @@ def measure_serving_two_program(batch=4, proposals=None):
     import dataclasses
 
     cfg = Config()
+    if native_scale is not None:
+        # Native-resolution serving detector: skip the reference's 224->600
+        # blob upscale (common/hand_detector.py's short-side-600 protocol)
+        # and run detection at `native_scale` with the in-tree from-scratch
+        # recipe (DetectorConfig.native; quality evidence: the AP-0.98
+        # cli/detector_convergence study). The reference cannot take this
+        # knob: its shipped checkpoint is bound to 600-scale statistics.
+        from hand_integral_pose_estimation_tpu.config import DetectorConfig
+        dcfg = DetectorConfig.native(native_scale, detector_resnet or 101)
+        cfg = dataclasses.replace(cfg, detector=dcfg)
+    elif detector_resnet is not None:
+        cfg = dataclasses.replace(cfg, detector=dataclasses.replace(
+            cfg.detector, resnet_type=detector_resnet))
     if proposals is not None:
         cfg = dataclasses.replace(cfg, detector=dataclasses.replace(
             cfg.detector, rpn_post_nms_top_n_test=proposals))
@@ -577,6 +613,16 @@ def _parse_args(argv=None):
     p.add_argument("--proposals", type=int, default=None,
                    help="config 4: override rpn_post_nms_top_n_test "
                    "(serving knob; default keeps reference parity at 300)")
+    p.add_argument("--detector-scale", type=int, default=None,
+                   metavar="PX",
+                   help="configs 4/6: run the detector at this resolution "
+                   "with the in-tree from-scratch recipe instead of the "
+                   "reference's short-side-600 blob (224 = FreiHAND native "
+                   "resolution, no upscale; quality evidence: "
+                   "cli/detector_convergence AP study)")
+    p.add_argument("--detector-resnet", type=int, default=None,
+                   help="configs 4/6: detector backbone depth override "
+                   "(default 101 = reference parity)")
     p.add_argument("--raw", action="store_true",
                    help="measure in-process with no watchdog (the guarded "
                    "parent invokes this in a subprocess)")
@@ -603,13 +649,20 @@ def _run_raw_config(c, args):
             "value": round(ips, 1), "unit": "images/sec/chip",
             "batch": args.batch}))
     elif c == 4:
-        ips, ms = measure_detector(proposals=args.proposals)
+        size = args.detector_scale or 600
+        ips, ms = measure_detector(
+            size=size, resnet_type=args.detector_resnet or 101,
+            proposals=args.proposals, native=args.detector_scale is not None)
         out = {
             "metric": "detector_two_stage_images_per_sec_per_chip",
             "value": round(ips, 1), "unit": "images/sec/chip",
-            "ms_per_batch4_600px": round(ms, 1)}
+            "ms_per_batch4_%dpx" % size: round(ms, 1)}
         if args.proposals is not None:
             out["proposals"] = args.proposals
+        if args.detector_scale is not None:
+            out["detector_scale"] = args.detector_scale
+        if args.detector_resnet is not None:
+            out["detector_resnet"] = args.detector_resnet
         print(json.dumps(out))
     elif c == 5:
         if args.teacher_cascade is not None:
@@ -644,7 +697,8 @@ def _run_raw_config(c, args):
         print(json.dumps(out))
     elif c == 6:
         ips, det_ms, pose_ms = measure_serving_two_program(
-            proposals=args.proposals)
+            proposals=args.proposals, native_scale=args.detector_scale,
+            detector_resnet=args.detector_resnet)
         out = {
             "metric": "serving_two_stage_images_per_sec_per_chip",
             "value": round(ips, 1), "unit": "images/sec/chip",
@@ -653,6 +707,12 @@ def _run_raw_config(c, args):
             "note": "two-program loop-differenced bound"}
         if args.proposals is not None:
             out["proposals"] = args.proposals
+        if args.detector_scale is not None:
+            out["detector_scale"] = args.detector_scale
+            out["note"] += ("; native-res in-tree detector recipe "
+                            "(study config), not the reference 600 blob")
+        if args.detector_resnet is not None:
+            out["detector_resnet"] = args.detector_resnet
         print(json.dumps(out))
 
 
@@ -741,6 +801,10 @@ def _measure_in_subprocess(c, args):
         cmd += ["--teacher-cascade", str(args.teacher_cascade)]
     if args.proposals is not None:
         cmd += ["--proposals", str(args.proposals)]
+    if args.detector_scale is not None:
+        cmd += ["--detector-scale", str(args.detector_scale)]
+    if args.detector_resnet is not None:
+        cmd += ["--detector-resnet", str(args.detector_resnet)]
     if args.cpu_baseline and c == 2:
         cmd += ["--cpu-baseline"]
     if os.environ.get("HIPE_BENCH_SIMULATE_OUTAGE"):
@@ -767,6 +831,19 @@ def _measure_in_subprocess(c, args):
         if isinstance(rec, dict) and rec.get("metric"):
             return rec, ""
     return None, "measurement produced no JSON line"
+
+
+def _is_default_shape(args):
+    """True iff this run's knobs match the default shapes — only those runs
+    may refresh the last-known-good cache (a knob run would poison the
+    outage fallback with a non-headline number)."""
+    return (args.batch == BATCH and args.proposals is None
+            and args.rotation_mode == "factored"
+            and args.teacher_batch == 8
+            and args.teacher_dtype is None
+            and args.teacher_cascade is None
+            and args.detector_scale is None
+            and args.detector_resnet is None)
 
 
 def _emit_stale(c, reason, args=None):
@@ -813,11 +890,7 @@ def main():
             continue
         # refresh the cache only for default-shaped runs (non-default
         # batch/proposals/rotation-mode/dtype would poison the fallback)
-        if (args.batch == BATCH and args.proposals is None
-                and args.rotation_mode == "factored"
-                and args.teacher_batch == 8
-                and args.teacher_dtype is None
-                and args.teacher_cascade is None):
+        if _is_default_shape(args):
             _store_lkg(rec)
         print(json.dumps(rec))
 

@@ -27,24 +27,15 @@ from hand_integral_pose_estimation_tpu.config import DetectorConfig
 
 def study_config(hw, resnet_type: int = 18) -> DetectorConfig:
     """Small-image study config: stride-16 anchors sized for 56-150 px
-    synthetic hands; blob resize disabled (test_scale == image size)."""
-    return DetectorConfig(
-        resnet_type=resnet_type,
-        # from-scratch training recipe (see DetectorConfig / _Norm notes):
-        # GroupNorm backbone — frozen identity-BN stalls optimisation and
-        # live small-batch BN overfits batch statistics (AP decays as train
-        # loss drops); GN is train=eval consistent
-        freeze_bn=False, norm="group",
-        anchor_scales=(2, 4, 8, 12),
-        test_scale=min(hw), test_max_size=max(hw),
-        rpn_pre_nms_top_n_train=2000, rpn_post_nms_top_n_train=256,
-        rpn_pre_nms_top_n_test=1000, rpn_post_nms_top_n_test=64,
-        roi_batch_size=64, max_detections=8, rpn_min_size=4,
-        # from-scratch: sample easy negatives too — with the reference's
-        # bg_thresh_lo=0.1, proposals at IoU<0.1 are never trained as
-        # background, which (without pretrained features) yields confident
-        # far-from-object false positives at test time
-        roi_bg_thresh_lo=0.0)
+    synthetic hands; blob resize disabled (test_scale == image size).
+
+    The recipe itself (GroupNorm from-scratch backbone — frozen identity-BN
+    stalls optimisation, live small-batch BN overfits batch statistics;
+    easy negatives sampled because with bg_thresh_lo=0.1 and no pretrained
+    features far-from-object proposals are never trained as background) is
+    the first-class `DetectorConfig.native` preset; this study is its
+    quality evidence (AP 0.98)."""
+    return DetectorConfig.native(min(hw), resnet_type, max_size=max(hw))
 
 
 def run_study(train_n: int = 128, val_n: int = 32, hw=(224, 224),

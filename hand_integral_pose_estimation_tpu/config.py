@@ -174,6 +174,36 @@ class DetectorConfig:
         (PERFORMANCE.md "Proposal-count serving knob")."""
         return dataclasses.replace(self, rpn_post_nms_top_n_test=proposals)
 
+    @classmethod
+    def native(cls, size: int = 224, resnet_type: int = 18,
+               max_size: int | None = None) -> "DetectorConfig":
+        """Native-resolution serving/training recipe: detect at the input's
+        own resolution instead of the reference's short-side-600 blob
+        upscale (common/hand_detector.py prepare_blob / config_rcnn.py
+        TEST.SCALES) — FreiHAND frames are 224², so the reference runs its
+        detector on a 7.2x-area bicubic upscale of the same pixels.
+
+        This is the detector-convergence study configuration
+        (cli/detector_convergence, VOC AP 0.98 from scratch on synthetic
+        hands): GroupNorm backbone (from-scratch trainable, train=eval
+        consistent), stride-16 anchors sized for 56-150 px hands, top-64
+        post-NMS proposals, easy negatives sampled (roi_bg_thresh_lo=0).
+        The reference cannot take this knob — its shipped checkpoint is
+        bound to 600-scale statistics; use it with in-tree-trained
+        weights (cli/train_detector). Measured on v5e (PERFORMANCE.md
+        round 4): detect 1.4 ms/batch-4 at 224/R18 vs 13.6 ms for the
+        600/R101 64-proposal serving setting."""
+        hi = max(size, max_size if max_size is not None else size)
+        return cls(
+            resnet_type=resnet_type,
+            freeze_bn=False, norm="group",
+            anchor_scales=(2, 4, 8, 12),
+            test_scale=size, test_max_size=hi,
+            rpn_pre_nms_top_n_train=2000, rpn_post_nms_top_n_train=256,
+            rpn_pre_nms_top_n_test=1000, rpn_post_nms_top_n_test=64,
+            roi_batch_size=64, max_detections=8, rpn_min_size=4,
+            roi_bg_thresh_lo=0.0)
+
 
 @dataclasses.dataclass(frozen=True)
 class PANetConfig:

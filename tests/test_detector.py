@@ -591,6 +591,64 @@ class TestDetectorBBoxDb:
         np.testing.assert_allclose(host["bbox_detector"], bbox)
 
 
+class TestNativeDetectorPreset:
+    def test_native_preset_is_the_study_recipe(self):
+        """DetectorConfig.native == the detector-convergence study config
+        (its AP-0.98 quality evidence must stay attached to the same
+        values)."""
+        from hand_integral_pose_estimation_tpu.cli.detector_convergence import (
+            study_config,
+        )
+        from hand_integral_pose_estimation_tpu.config import DetectorConfig
+
+        assert DetectorConfig.native(224, 18) == study_config((224, 224), 18)
+        assert DetectorConfig.native(128, 50, max_size=256) == study_config(
+            (128, 256), 50)
+        cfg = DetectorConfig.native()
+        assert cfg.test_scale == 224 and cfg.test_max_size == 224
+        assert cfg.norm == "group" and not cfg.freeze_bn
+        assert cfg.rpn_post_nms_top_n_test == 64
+
+    def test_evaluate_cli_resolution(self):
+        """--detector-native starts from the preset; explicit flags
+        override; without the flag the reference-parity defaults hold."""
+        from hand_integral_pose_estimation_tpu.cli import evaluate as ecli
+        from hand_integral_pose_estimation_tpu.config import DetectorConfig
+
+        base = DetectorConfig()
+        p = ecli.build_argparser()
+
+        args = p.parse_args([])
+        cfg = ecli.resolve_detector_cfg(args, base)
+        assert cfg.test_scale == 600 and cfg.test_max_size == 1000
+        assert cfg.resnet_type == 101 and cfg.norm == "batch"
+        assert cfg.freeze_bn and cfg.rpn_post_nms_top_n_test == 300
+
+        args = p.parse_args(["--detector-native"])
+        cfg = ecli.resolve_detector_cfg(args, base)
+        assert cfg.test_scale == 224 and cfg.test_max_size == 224
+        assert cfg.resnet_type == 18 and cfg.norm == "group"
+        assert not cfg.freeze_bn and cfg.rpn_post_nms_top_n_test == 64
+        assert cfg.anchor_scales == (2, 4, 8, 12)
+
+        args = p.parse_args(["--detector-native", "--detector-scale", "128",
+                             "--detector-resnet", "50",
+                             "--detector-proposals", "32"])
+        cfg = ecli.resolve_detector_cfg(args, base)
+        assert cfg.test_scale == 128 and cfg.test_max_size == 128
+        assert cfg.resnet_type == 50
+        assert cfg.rpn_post_nms_top_n_test == 32
+
+        # old-style explicit knobs without the preset behave as before
+        args = p.parse_args(["--detector-scale", "64",
+                             "--detector-resnet", "18",
+                             "--detector-proposals", "16"])
+        cfg = ecli.resolve_detector_cfg(args, base)
+        assert cfg.test_scale == 64 and cfg.test_max_size == 64
+        assert cfg.resnet_type == 18 and cfg.norm == "batch"
+        assert cfg.freeze_bn and cfg.anchor_scales == base.anchor_scales
+
+
 class TestEvaluateCLI:
     def test_pred_json_from_images_alone(self, tmp_path):
         """Integration: the evaluate CLI runs the jitted two-stage
