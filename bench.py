@@ -477,6 +477,70 @@ def measure_serving_two_program(batch=4, proposals=None, native_scale=None,
     return batch / per_call, t_det * 1e3, t_pose * 1e3
 
 
+def measure_serving_monolith(batch=4, native_scale=None,
+                             detector_resnet=None, proposals=None):
+    """Config #6 --monolith: the ACTUAL single-XLA-program TwoStagePipeline
+    (detect -> crop -> pose -> camera in one jit), loop-differenced.
+
+    Historically blocked through the axon tunnel: the 600-px R101 program's
+    serialized MLIR exceeds the remote compiler's HTTP upload limit
+    (HTTP 413, PERFORMANCE.md round 2) — hence the two-program bound above.
+    The native-resolution detector (DetectorConfig.native) shrinks the
+    program enough that the monolith compiles and runs; measured round 4 it
+    agrees with the two-program sum (2.16 vs 2.1 ms/batch-4 at 224/R18),
+    validating the bound."""
+    import dataclasses
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from hand_integral_pose_estimation_tpu.config import Config, DetectorConfig
+    from hand_integral_pose_estimation_tpu.detect.faster_rcnn import (
+        FasterRCNN,
+    )
+    from hand_integral_pose_estimation_tpu.inference import TwoStagePipeline
+    from hand_integral_pose_estimation_tpu.models import get_pose_net
+
+    cfg = Config()
+    if native_scale is not None:
+        cfg = dataclasses.replace(cfg, detector=DetectorConfig.native(
+            native_scale, detector_resnet or 18))
+    elif detector_resnet is not None:
+        cfg = dataclasses.replace(cfg, detector=dataclasses.replace(
+            cfg.detector, resnet_type=detector_resnet))
+    if proposals is not None:
+        cfg = dataclasses.replace(cfg, detector=dataclasses.replace(
+            cfg.detector, rpn_post_nms_top_n_test=proposals))
+
+    H = W = 224
+    images = _detector_images(batch, H)
+    K = jnp.broadcast_to(
+        jnp.asarray([[531.9, 0, W / 2.0], [0, 532.2, H / 2.0], [0, 0, 1.0]],
+                    jnp.float32), (batch, 3, 3))
+    ref_len = jnp.ones((batch,), jnp.float32)
+
+    det = FasterRCNN(cfg=cfg.detector)
+    det_vars = det.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        jnp.zeros((1, H, W, 3)))
+    net = get_pose_net(cfg.model)
+    pose_vars = net.init(
+        jax.random.PRNGKey(0), jnp.zeros((1,) + cfg.model.input_shape + (3,)))
+    pipe = TwoStagePipeline(cfg, net, pose_vars, det, det_vars)
+    run = pipe._build()
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def loop(images, n):
+        def body(i, imgs):
+            cam = run(pose_vars, det_vars, imgs, K, ref_len).joints_cam
+            return imgs + 1e-9 * jnp.sum(cam)
+        return jax.lax.fori_loop(0, n, body, images)
+
+    per_call = _diff_timed(
+        lambda n: np.asarray(loop(images, n)[0, 0, 0]), n_steps=10, reps=3)
+    return batch / per_call, per_call * 1e3
+
+
 def measure_cpu_reference() -> float:
     """Equivalent pipeline the reference way: per-sample cv2 double warp +
     torch CPU ResNet-50+deconv forward + softmax-integral decode."""
@@ -623,6 +687,12 @@ def _parse_args(argv=None):
     p.add_argument("--detector-resnet", type=int, default=None,
                    help="configs 4/6: detector backbone depth override "
                    "(default 101 = reference parity)")
+    p.add_argument("--monolith", action="store_true",
+                   help="config 6: measure the actual single-XLA-program "
+                   "TwoStagePipeline instead of the two-program bound "
+                   "(compiles through the tunnel at native scales; the "
+                   "600-px parity program exceeds the remote compiler's "
+                   "upload limit, HTTP 413)")
     p.add_argument("--raw", action="store_true",
                    help="measure in-process with no watchdog (the guarded "
                    "parent invokes this in a subprocess)")
@@ -696,15 +766,25 @@ def _run_raw_config(c, args):
             out["teacher_dtype"] = args.teacher_dtype
         print(json.dumps(out))
     elif c == 6:
-        ips, det_ms, pose_ms = measure_serving_two_program(
-            proposals=args.proposals, native_scale=args.detector_scale,
-            detector_resnet=args.detector_resnet)
-        out = {
-            "metric": "serving_two_stage_images_per_sec_per_chip",
-            "value": round(ips, 1), "unit": "images/sec/chip",
-            "detect_ms_batch4": round(det_ms, 1),
-            "pose_ms_batch4": round(pose_ms, 1),
-            "note": "two-program loop-differenced bound"}
+        if args.monolith:
+            ips, ms = measure_serving_monolith(
+                proposals=args.proposals, native_scale=args.detector_scale,
+                detector_resnet=args.detector_resnet)
+            out = {
+                "metric": "serving_two_stage_images_per_sec_per_chip",
+                "value": round(ips, 1), "unit": "images/sec/chip",
+                "ms_per_batch4": round(ms, 2),
+                "note": "single-XLA-program TwoStagePipeline monolith"}
+        else:
+            ips, det_ms, pose_ms = measure_serving_two_program(
+                proposals=args.proposals, native_scale=args.detector_scale,
+                detector_resnet=args.detector_resnet)
+            out = {
+                "metric": "serving_two_stage_images_per_sec_per_chip",
+                "value": round(ips, 1), "unit": "images/sec/chip",
+                "detect_ms_batch4": round(det_ms, 1),
+                "pose_ms_batch4": round(pose_ms, 1),
+                "note": "two-program loop-differenced bound"}
         if args.proposals is not None:
             out["proposals"] = args.proposals
         if args.detector_scale is not None:
@@ -805,6 +885,8 @@ def _measure_in_subprocess(c, args):
         cmd += ["--detector-scale", str(args.detector_scale)]
     if args.detector_resnet is not None:
         cmd += ["--detector-resnet", str(args.detector_resnet)]
+    if args.monolith:
+        cmd += ["--monolith"]
     if args.cpu_baseline and c == 2:
         cmd += ["--cpu-baseline"]
     if os.environ.get("HIPE_BENCH_SIMULATE_OUTAGE"):
@@ -843,7 +925,8 @@ def _is_default_shape(args):
             and args.teacher_dtype is None
             and args.teacher_cascade is None
             and args.detector_scale is None
-            and args.detector_resnet is None)
+            and args.detector_resnet is None
+            and not args.monolith)
 
 
 def _emit_stale(c, reason, args=None):

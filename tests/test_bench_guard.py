@@ -199,9 +199,9 @@ def test_detector_scale_knob_is_nondefault_shape(tmp_path, monkeypatch,
     assert _parse_lines(capsys.readouterr().out) == [rec]
     assert mod._load_lkg() == {}  # knob run: cache untouched
 
-    # the knob threads into the subprocess argv
+    # the knobs thread into the subprocess argv
     args = mod._parse_args(["--config", "6", "--detector-scale", "224",
-                            "--detector-resnet", "18"])
+                            "--detector-resnet", "18", "--monolith"])
     captured = {}
 
     def fake_run(cmd, **kw):
@@ -213,5 +213,7 @@ def test_detector_scale_knob_is_nondefault_shape(tmp_path, monkeypatch,
     assert "--detector-scale" in captured["cmd"]
     assert "224" in captured["cmd"]
     assert "--detector-resnet" in captured["cmd"]
+    assert "--monolith" in captured["cmd"]
     assert not mod._is_default_shape(args)
+    assert not mod._is_default_shape(mod._parse_args(["--monolith"]))
     assert mod._is_default_shape(mod._parse_args([]))
