@@ -693,6 +693,11 @@ def _parse_args(argv=None):
                    "(compiles through the tunnel at native scales; the "
                    "600-px parity program exceeds the remote compiler's "
                    "upload limit, HTTP 413)")
+    p.add_argument("--serving-batch", type=int, default=4,
+                   help="configs 4/6: detection/serving batch size "
+                   "(default 4 = the latency-oriented setting every prior "
+                   "round measured; larger batches measure the "
+                   "throughput-oriented deployment)")
     p.add_argument("--raw", action="store_true",
                    help="measure in-process with no watchdog (the guarded "
                    "parent invokes this in a subprocess)")
@@ -721,12 +726,13 @@ def _run_raw_config(c, args):
     elif c == 4:
         size = args.detector_scale or 600
         ips, ms = measure_detector(
-            size=size, resnet_type=args.detector_resnet or 101,
+            batch=args.serving_batch, size=size,
+            resnet_type=args.detector_resnet or 101,
             proposals=args.proposals, native=args.detector_scale is not None)
         out = {
             "metric": "detector_two_stage_images_per_sec_per_chip",
             "value": round(ips, 1), "unit": "images/sec/chip",
-            "ms_per_batch4_%dpx" % size: round(ms, 1)}
+            "ms_per_batch%d_%dpx" % (args.serving_batch, size): round(ms, 1)}
         if args.proposals is not None:
             out["proposals"] = args.proposals
         if args.detector_scale is not None:
@@ -766,24 +772,27 @@ def _run_raw_config(c, args):
             out["teacher_dtype"] = args.teacher_dtype
         print(json.dumps(out))
     elif c == 6:
+        sb = args.serving_batch
         if args.monolith:
             ips, ms = measure_serving_monolith(
-                proposals=args.proposals, native_scale=args.detector_scale,
+                batch=sb, proposals=args.proposals,
+                native_scale=args.detector_scale,
                 detector_resnet=args.detector_resnet)
             out = {
                 "metric": "serving_two_stage_images_per_sec_per_chip",
                 "value": round(ips, 1), "unit": "images/sec/chip",
-                "ms_per_batch4": round(ms, 2),
+                "ms_per_batch%d" % sb: round(ms, 2),
                 "note": "single-XLA-program TwoStagePipeline monolith"}
         else:
             ips, det_ms, pose_ms = measure_serving_two_program(
-                proposals=args.proposals, native_scale=args.detector_scale,
+                batch=sb, proposals=args.proposals,
+                native_scale=args.detector_scale,
                 detector_resnet=args.detector_resnet)
             out = {
                 "metric": "serving_two_stage_images_per_sec_per_chip",
                 "value": round(ips, 1), "unit": "images/sec/chip",
-                "detect_ms_batch4": round(det_ms, 1),
-                "pose_ms_batch4": round(pose_ms, 1),
+                "detect_ms_batch%d" % sb: round(det_ms, 1),
+                "pose_ms_batch%d" % sb: round(pose_ms, 1),
                 "note": "two-program loop-differenced bound"}
         if args.proposals is not None:
             out["proposals"] = args.proposals
@@ -887,6 +896,8 @@ def _measure_in_subprocess(c, args):
         cmd += ["--detector-resnet", str(args.detector_resnet)]
     if args.monolith:
         cmd += ["--monolith"]
+    if args.serving_batch != 4:
+        cmd += ["--serving-batch", str(args.serving_batch)]
     if args.cpu_baseline and c == 2:
         cmd += ["--cpu-baseline"]
     if os.environ.get("HIPE_BENCH_SIMULATE_OUTAGE"):
@@ -926,7 +937,8 @@ def _is_default_shape(args):
             and args.teacher_cascade is None
             and args.detector_scale is None
             and args.detector_resnet is None
-            and not args.monolith)
+            and not args.monolith
+            and args.serving_batch == 4)
 
 
 def _emit_stale(c, reason, args=None):

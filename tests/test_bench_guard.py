@@ -201,7 +201,8 @@ def test_detector_scale_knob_is_nondefault_shape(tmp_path, monkeypatch,
 
     # the knobs thread into the subprocess argv
     args = mod._parse_args(["--config", "6", "--detector-scale", "224",
-                            "--detector-resnet", "18", "--monolith"])
+                            "--detector-resnet", "18", "--monolith",
+                            "--serving-batch", "16"])
     captured = {}
 
     def fake_run(cmd, **kw):
@@ -214,6 +215,9 @@ def test_detector_scale_knob_is_nondefault_shape(tmp_path, monkeypatch,
     assert "224" in captured["cmd"]
     assert "--detector-resnet" in captured["cmd"]
     assert "--monolith" in captured["cmd"]
+    assert "--serving-batch" in captured["cmd"] and "16" in captured["cmd"]
     assert not mod._is_default_shape(args)
     assert not mod._is_default_shape(mod._parse_args(["--monolith"]))
+    assert not mod._is_default_shape(
+        mod._parse_args(["--serving-batch", "16"]))
     assert mod._is_default_shape(mod._parse_args([]))
