@@ -95,8 +95,14 @@ def _diff_timed(loop_fn, n_steps=STEPS, reps=5, min_signal=0.25):
         n_steps *= 8
 
 
-def measure_inference(batch=BATCH):
-    """Config #2: on-device crop/normalise -> R50 -> fused soft-argmax."""
+def measure_inference(batch=BATCH, int8=False):
+    """Config #2: on-device crop/normalise -> R50 -> fused soft-argmax.
+
+    int8=True runs the backbone+deconv convs as s8xs8->s32 MXU ops
+    (quantize/ptq.py; per-channel weights, calibrated per-tensor
+    activations; the fused projection head stays fp). Accuracy gate:
+    tests/test_quantize.py."""
+    import contextlib
     import functools
 
     import jax
@@ -113,13 +119,34 @@ def measure_inference(batch=BATCH):
     images, joints, K, ref_len = _pose_inputs(batch)
     variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
 
+    if int8:
+        from hand_integral_pose_estimation_tpu.quantize import (
+            calibrate, quantize_params, quantized_calls,
+        )
+        import dataclasses as _dc
+
+        def calib_fwd(imgs):
+            b = pipeline.make_eval_batch(imgs, joints, K, None, ref_len,
+                                         cfg.augment, cfg.model.input_shape)
+            return net.apply(variables, b.image, train=False,
+                             return_features=True)
+        amax = calibrate(calib_fwd, images)
+        q = quantize_params(variables["params"], amax,
+                            skip=("head/final",))
+        q = _dc.replace(q, root_type=type(net))
+        qctx = lambda: quantized_calls(q)   # noqa: E731
+    else:
+        qctx = contextlib.nullcontext
+
     @functools.partial(jax.jit, static_argnums=(6,))
     def e2e_loop(params, batch_stats, images, joints, K, ref_len, n):
         def body(i, imgs):
             b = pipeline.make_eval_batch(imgs, joints, K, None, ref_len,
                                          cfg.augment, cfg.model.input_shape)
-            feats = net.apply({"params": params, "batch_stats": batch_stats},
-                              b.image, train=False, return_features=True)
+            with qctx():
+                feats = net.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    b.image, train=False, return_features=True)
             Wp, bp = net.final_projection(params)
             coords = head_projection_integral(
                 feats, Wp, bp, cfg.model.num_joints, cfg.model.depth_dim)
@@ -199,7 +226,7 @@ def _detector_images(batch, size):
 
 
 def measure_detector(batch=4, size=600, resnet_type=101, proposals=None,
-                     native=False):
+                     native=False, int8=False):
     """Config #4: the full two-stage detection call (blob -> R101-C4 ->
     RPN -> NMS proposals -> ROIAlign -> head -> decode -> class NMS).
 
@@ -233,10 +260,25 @@ def measure_detector(batch=4, size=600, resnet_type=101, proposals=None,
         {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
         jnp.zeros((1, size, size, 3)))
 
+    import contextlib
+    if int8:
+        from hand_integral_pose_estimation_tpu.quantize import (
+            calibrate, quantize_params, quantized_calls,
+        )
+        import dataclasses as _dc
+        amax = calibrate(lambda im: detect(model, variables, im, cfg),
+                         images)
+        q = quantize_params(variables["params"], amax)
+        q = _dc.replace(q, root_type=type(model))
+        qctx = lambda: quantized_calls(q)   # noqa: E731
+    else:
+        qctx = contextlib.nullcontext
+
     @functools.partial(jax.jit, static_argnums=(2,))
     def det_loop(variables, images, n):
         def body(i, imgs):
-            d = detect(model, variables, imgs, cfg)
+            with qctx():
+                d = detect(model, variables, imgs, cfg)
             return imgs + 1e-9 * (jnp.sum(d.boxes) + jnp.sum(d.scores))
         return jax.lax.fori_loop(0, n, body, images)
 
@@ -478,7 +520,8 @@ def measure_serving_two_program(batch=4, proposals=None, native_scale=None,
 
 
 def measure_serving_monolith(batch=4, native_scale=None,
-                             detector_resnet=None, proposals=None):
+                             detector_resnet=None, proposals=None,
+                             int8=False):
     """Config #6 --monolith: the ACTUAL single-XLA-program TwoStagePipeline
     (detect -> crop -> pose -> camera in one jit), loop-differenced.
 
@@ -529,10 +572,41 @@ def measure_serving_monolith(batch=4, native_scale=None,
     pipe = TwoStagePipeline(cfg, net, pose_vars, det, det_vars)
     run = pipe._build()
 
+    import contextlib
+    if int8:
+        # both models in one traced program share relative paths
+        # ('backbone/...'): calibrate and replay each under its own
+        # root-type filter (quantize/ptq.py, Quantized.root_type)
+        from hand_integral_pose_estimation_tpu.quantize import (
+            calibrate, quantize_params, quantized_calls,
+        )
+        import dataclasses as _dc
+
+        def calib_fn(im):
+            return run(pose_vars, det_vars, im, K, ref_len).joints_cam
+        amax_det = calibrate(calib_fn, images, root_type=type(det))
+        amax_pose = calibrate(calib_fn, images, root_type=type(net))
+        q_det = _dc.replace(
+            quantize_params(det_vars["params"], amax_det),
+            root_type=type(det))
+        q_pose = _dc.replace(
+            quantize_params(pose_vars["params"], amax_pose,
+                            skip=("head/final",)),
+            root_type=type(net))
+
+        def qctx():
+            ctx = contextlib.ExitStack()
+            ctx.enter_context(quantized_calls(q_det))
+            ctx.enter_context(quantized_calls(q_pose))
+            return ctx
+    else:
+        qctx = contextlib.nullcontext
+
     @functools.partial(jax.jit, static_argnums=(1,))
     def loop(images, n):
         def body(i, imgs):
-            cam = run(pose_vars, det_vars, imgs, K, ref_len).joints_cam
+            with qctx():
+                cam = run(pose_vars, det_vars, imgs, K, ref_len).joints_cam
             return imgs + 1e-9 * jnp.sum(cam)
         return jax.lax.fori_loop(0, n, body, images)
 
@@ -698,6 +772,12 @@ def _parse_args(argv=None):
                    "(default 4 = the latency-oriented setting every prior "
                    "round measured; larger batches measure the "
                    "throughput-oriented deployment)")
+    p.add_argument("--int8", action="store_true",
+                   help="configs 2/4/6-monolith: run the conv stacks as "
+                   "s8xs8->s32 MXU ops (post-training quantization, "
+                   "quantize/ptq.py; per-channel weights + calibrated "
+                   "per-tensor activations; decode/epilogues stay fp). "
+                   "Accuracy gate: tests/test_quantize.py")
     p.add_argument("--raw", action="store_true",
                    help="measure in-process with no watchdog (the guarded "
                    "parent invokes this in a subprocess)")
@@ -710,13 +790,16 @@ def _run_raw_config(c, args):
         # the CPU torch+cv2 reference baseline is only the headline's
         # comparison point — don't pay for it on configs 3-5
         cpu_ips = _cpu_baseline(force=args.cpu_baseline)
-        ips = measure_inference(args.batch)
-        print(json.dumps({
+        ips = measure_inference(args.batch, int8=args.int8)
+        out = {
             "metric": "freihand_e2e_inference_images_per_sec_per_chip",
             "value": round(ips, 1),
             "unit": "images/sec/chip",
             "vs_baseline": round(ips / cpu_ips, 2),
-        }))
+        }
+        if args.int8:
+            out["int8"] = True
+        print(json.dumps(out))
     elif c == 3:
         ips = measure_train(args.batch)
         print(json.dumps({
@@ -728,11 +811,14 @@ def _run_raw_config(c, args):
         ips, ms = measure_detector(
             batch=args.serving_batch, size=size,
             resnet_type=args.detector_resnet or 101,
-            proposals=args.proposals, native=args.detector_scale is not None)
+            proposals=args.proposals, native=args.detector_scale is not None,
+            int8=args.int8)
         out = {
             "metric": "detector_two_stage_images_per_sec_per_chip",
             "value": round(ips, 1), "unit": "images/sec/chip",
             "ms_per_batch%d_%dpx" % (args.serving_batch, size): round(ms, 1)}
+        if args.int8:
+            out["int8"] = True
         if args.proposals is not None:
             out["proposals"] = args.proposals
         if args.detector_scale is not None:
@@ -777,12 +863,14 @@ def _run_raw_config(c, args):
             ips, ms = measure_serving_monolith(
                 batch=sb, proposals=args.proposals,
                 native_scale=args.detector_scale,
-                detector_resnet=args.detector_resnet)
+                detector_resnet=args.detector_resnet, int8=args.int8)
             out = {
                 "metric": "serving_two_stage_images_per_sec_per_chip",
                 "value": round(ips, 1), "unit": "images/sec/chip",
                 "ms_per_batch%d" % sb: round(ms, 2),
                 "note": "single-XLA-program TwoStagePipeline monolith"}
+            if args.int8:
+                out["int8"] = True
         else:
             ips, det_ms, pose_ms = measure_serving_two_program(
                 batch=sb, proposals=args.proposals,
@@ -896,6 +984,8 @@ def _measure_in_subprocess(c, args):
         cmd += ["--detector-resnet", str(args.detector_resnet)]
     if args.monolith:
         cmd += ["--monolith"]
+    if args.int8:
+        cmd += ["--int8"]
     if args.serving_batch != 4:
         cmd += ["--serving-batch", str(args.serving_batch)]
     if args.cpu_baseline and c == 2:
@@ -938,6 +1028,7 @@ def _is_default_shape(args):
             and args.detector_scale is None
             and args.detector_resnet is None
             and not args.monolith
+            and not args.int8
             and args.serving_batch == 4)
 
 
