@@ -569,44 +569,18 @@ def measure_serving_monolith(batch=4, native_scale=None,
     net = get_pose_net(cfg.model)
     pose_vars = net.init(
         jax.random.PRNGKey(0), jnp.zeros((1,) + cfg.model.input_shape + (3,)))
-    pipe = TwoStagePipeline(cfg, net, pose_vars, det, det_vars)
-    run = pipe._build()
-
-    import contextlib
-    if int8:
-        # both models in one traced program share relative paths
-        # ('backbone/...'): calibrate and replay each under its own
-        # root-type filter (quantize/ptq.py, Quantized.root_type)
-        from hand_integral_pose_estimation_tpu.quantize import (
-            calibrate, quantize_params, quantized_calls,
-        )
-        import dataclasses as _dc
-
-        def calib_fn(im):
-            return run(pose_vars, det_vars, im, K, ref_len).joints_cam
-        amax_det = calibrate(calib_fn, images, root_type=type(det))
-        amax_pose = calibrate(calib_fn, images, root_type=type(net))
-        q_det = _dc.replace(
-            quantize_params(det_vars["params"], amax_det),
-            root_type=type(det))
-        q_pose = _dc.replace(
-            quantize_params(pose_vars["params"], amax_pose,
-                            skip=("head/final",)),
-            root_type=type(net))
-
-        def qctx():
-            ctx = contextlib.ExitStack()
-            ctx.enter_context(quantized_calls(q_det))
-            ctx.enter_context(quantized_calls(q_pose))
-            return ctx
-    else:
-        qctx = contextlib.nullcontext
+    # int8: the pipeline calibrates + wraps itself (first-class path,
+    # inference.TwoStagePipeline(int8_calib=); one Quantized bundle per
+    # model because the two nets share relative 'backbone/...' paths)
+    pipe = TwoStagePipeline(
+        cfg, net, pose_vars, det, det_vars,
+        int8_calib=(images, K, ref_len) if int8 else None)
+    run = pipe._raw_run
 
     @functools.partial(jax.jit, static_argnums=(1,))
     def loop(images, n):
         def body(i, imgs):
-            with qctx():
-                cam = run(pose_vars, det_vars, imgs, K, ref_len).joints_cam
+            cam = run(pose_vars, det_vars, imgs, K, ref_len).joints_cam
             return imgs + 1e-9 * jnp.sum(cam)
         return jax.lax.fori_loop(0, n, body, images)
 

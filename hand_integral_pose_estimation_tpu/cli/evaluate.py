@@ -55,6 +55,17 @@ def build_argparser():
     p.add_argument("--detector-resnet", type=int, default=None)
     p.add_argument("--detector-scale", type=int, default=None)
     p.add_argument("--detector-proposals", type=int, default=None)
+    p.add_argument("--int8", action="store_true",
+                   help="int8 post-training quantization of BOTH nets in "
+                        "the two-stage sweep (quantize/ptq.py: per-channel "
+                        "weights, activation scales calibrated on the first "
+                        "batch, s8xs8->s32 MXU execution). Requires the "
+                        "detector path (not the cached-bbox Tester path)")
+    p.add_argument("--int8-db", default=None,
+                   help="path PREFIX for persisted int8 bundles "
+                        "('<prefix>.pose.npz' + '<prefix>.det.npz'): "
+                        "reused when both exist (calibrate once, ship "
+                        "everywhere), written after calibration otherwise")
     p.add_argument("--detector-norm", choices=("batch", "group"),
                    default=None,
                    help="must match the checkpoint's architecture: 'batch' "
@@ -167,6 +178,11 @@ def main(argv=None):
         print(f"attached {len(bboxes)} cached crop boxes from {args.bbox_db}")
         use_detector = False
 
+    if args.int8 and not use_detector:
+        raise SystemExit("--int8 runs through the two-stage detector "
+                         "pipeline; pass --use-detector (and no matching "
+                         "--bbox-db cache)")
+
     if use_detector:
         from hand_integral_pose_estimation_tpu.detect.load import (
             build_detector,
@@ -181,17 +197,48 @@ def main(argv=None):
         from hand_integral_pose_estimation_tpu.cli.mesh_arg import (
             resolve_eval_mesh,
         )
-        pose_vars = {"params": state.params,
-                     "batch_stats": state.batch_stats}
-        pipe = TwoStagePipeline(cfg, model, pose_vars, detector, det_vars,
-                                mesh=resolve_eval_mesh(args.mesh,
-                                                       args.batch_size))
-
         from hand_integral_pose_estimation_tpu.data.freihand import (
             padded_batches,
         )
 
         n, bs = len(dataset), args.batch_size
+        pose_vars = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        int8_calib, int8_loaded = None, False
+        pose_f = det_f = None
+        if args.int8:
+            if args.int8_db:
+                pose_f = args.int8_db + ".pose.npz"
+                det_f = args.int8_db + ".det.npz"
+            if pose_f and os.path.exists(pose_f) and os.path.exists(det_f):
+                from hand_integral_pose_estimation_tpu.quantize import (
+                    load_quantized,
+                )
+                int8_calib = (load_quantized(pose_f, type(model)),
+                              load_quantized(det_f, type(detector)))
+                int8_loaded = True
+                print(f"int8: loaded persisted bundles {args.int8_db}.*")
+            else:
+                # calibrate activation scales on the first padded batch
+                host = dataset.host_batch(next(iter(padded_batches(n, bs))))
+                int8_calib = (jnp.asarray(host["image"]),
+                              jnp.asarray(host["K"]),
+                              jnp.asarray(host["ref_bone_len"]))
+        pipe = TwoStagePipeline(cfg, model, pose_vars, detector, det_vars,
+                                mesh=resolve_eval_mesh(args.mesh,
+                                                       args.batch_size),
+                                int8_calib=int8_calib)
+        if args.int8:
+            qp, qd = pipe.quantized
+            print(f"int8: quantized {len(qp.paths)} pose + "
+                  f"{len(qd.paths)} detector modules")
+            if pose_f and not int8_loaded:
+                from hand_integral_pose_estimation_tpu.quantize import (
+                    save_quantized,
+                )
+                save_quantized(pose_f, qp)
+                save_quantized(det_f, qd)
+                print(f"int8: persisted bundles -> {args.int8_db}.*")
         coords_all, bbox_all = [], []
         K_all, ref_all = [], []
         for idx in padded_batches(n, bs):   # fixed shapes: pad, drop below

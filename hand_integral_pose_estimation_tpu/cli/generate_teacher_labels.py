@@ -33,13 +33,17 @@ def build_argparser():
                         "shared crop + patch-space rotations, the fast "
                         "path; composed = one full-source warp per "
                         "rotation)")
-    p.add_argument("--teacher-dtype", choices=("float32", "bfloat16"),
+    p.add_argument("--teacher-dtype",
+                   choices=("float32", "bfloat16", "int8"),
                    default=None,
                    help="teacher compute dtype (default = config default, "
                         "bfloat16 on the MXU; the integral decode and the "
                         "variance filter accumulate in float32 either way "
                         "— keep-set equality vs float32 is tested, "
-                        "tests/test_distill.py)")
+                        "tests/test_distill.py). 'int8' runs the teacher "
+                        "convs as s8xs8->s32 MXU ops, calibrated on the "
+                        "first batch's own sweep patches "
+                        "(distill.quantized_teacher_apply)")
     p.add_argument("--cascade", action="store_true",
                    help="two-pass early-reject filter: a provable subset "
                         "variance bound rejects most non-keepable samples "
@@ -92,9 +96,11 @@ def main(argv=None):
     cfg = Config()
     if args.training_size:
         cfg = cfg.with_training_size(args.training_size)
-    if args.teacher_dtype is not None:
+    if args.teacher_dtype in ("float32", "bfloat16"):
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
             cfg.model, compute_dtype=args.teacher_dtype))
+    # int8 keeps the config compute dtype for the non-conv ops; the convs
+    # are replaced at trace time (quantized_teacher_apply below)
     if args.synthetic or not args.data_dir:
         dataset = SyntheticFreiHand(n=args.synthetic_size)
     else:
@@ -112,12 +118,48 @@ def main(argv=None):
 
     J, D = cfg.model.num_joints, cfg.model.depth_dim
 
-    @jax.jit
-    def teacher_apply(patches):
-        hm = model.apply({"params": state.params,
-                          "batch_stats": state.batch_stats},
-                         patches, train=False)
-        return softmax_integral(hm, J, D)
+    def _device_batch(host):
+        """Host record dict -> (images, K, joint_cam, labelled, bbox);
+        detector boxes when cached, keypoint-derived otherwise."""
+        images = jnp.asarray(host["image"])
+        K = jnp.asarray(host["K"])
+        joint_cam = jnp.asarray(host["joint_cam"])
+        labelled = jnp.asarray(host["labelled"])
+        if host["bbox_detector"] is not None:
+            bbox = jnp.asarray(host["bbox_detector"])
+        else:
+            uv, _, _ = jax.vmap(lambda j, k: camera.project_points(
+                j, jnp.eye(3, dtype=k.dtype), k))(joint_cam, K)
+            bbox = jax.vmap(lambda u: bbox_mod.bbox_from_keypoints(
+                u, jnp.ones(u.shape[0]),
+                pad_factor=cfg.augment.pad_factor))(uv)
+        return images, K, joint_cam, labelled, bbox
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if args.teacher_dtype == "int8":
+        from hand_integral_pose_estimation_tpu.data.freihand import (
+            padded_batches as _pb,
+        )
+        from hand_integral_pose_estimation_tpu.distill import (
+            quantized_teacher_apply,
+        )
+        c_imgs, c_K, _, _, c_bbox = _device_batch(
+            dataset.host_batch(next(iter(_pb(len(dataset),
+                                             args.batch_size)))))
+        teacher_fwd, q8 = quantized_teacher_apply(
+            model, variables, c_imgs, c_K, c_bbox, cfg.augment, J, D,
+            num_rotations=cfg.train.teacher_num_rotations,
+            rotation_range=cfg.train.teacher_rotation_range,
+            patch_hw=cfg.model.input_shape,
+            rotation_mode=args.rotation_mode)
+        print(f"int8 teacher: {len(q8.paths)} modules quantized "
+              f"(calibrated on the first batch's sweep patches)")
+        teacher_apply = jax.jit(teacher_fwd)
+    else:
+        @jax.jit
+        def teacher_apply(patches):
+            hm = model.apply(variables, patches, train=False)
+            return softmax_integral(hm, J, D)
 
     from hand_integral_pose_estimation_tpu.cli.mesh_arg import (
         resolve_eval_mesh,
@@ -158,19 +200,8 @@ def main(argv=None):
         # tail batch padded (fixed device shapes), trimmed below — every
         # record gets a db row; apply_filtered_labels aligns by index
         start = int(idx[0])
-        host = dataset.host_batch(idx)
-        images = jnp.asarray(host["image"])
-        K = jnp.asarray(host["K"])
-        joint_cam = jnp.asarray(host["joint_cam"])
-        labelled = jnp.asarray(host["labelled"])
-        if host["bbox_detector"] is not None:
-            bbox = jnp.asarray(host["bbox_detector"])
-        else:
-            uv, _, _ = jax.vmap(lambda j, k: camera.project_points(
-                j, jnp.eye(3, dtype=k.dtype), k))(joint_cam, K)
-            bbox = jax.vmap(lambda u: bbox_mod.bbox_from_keypoints(
-                u, jnp.ones(u.shape[0]),
-                pad_factor=cfg.augment.pad_factor))(uv)
+        images, K, joint_cam, labelled, bbox = _device_batch(
+            dataset.host_batch(idx))
         if runner is not None:
             rows = np.where(idx == start + np.arange(bs), idx, -1)
             runner.add_batch(images, K, bbox, labelled, joint_cam, rows)

@@ -8,6 +8,7 @@ from hand_integral_pose_estimation_tpu.distill.teacher_labels import (  # noqa: 
     FilteredLabels,
     filter_precision_curve,
     generate_filtered_labels,
+    quantized_teacher_apply,
     rotation_sweep_camera,
     teacher_error_vs_variance,
 )

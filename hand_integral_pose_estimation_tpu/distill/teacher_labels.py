@@ -269,6 +269,87 @@ def generate_filtered_labels(
     )
 
 
+def quantized_teacher_apply(
+    model,
+    variables,
+    images: jnp.ndarray,
+    K: jnp.ndarray,
+    bbox: jnp.ndarray,
+    acfg: AugmentConfig,
+    num_joints: int,
+    depth_dim: int,
+    num_rotations: int = 21,
+    rotation_range: float = 0.52,
+    patch_hw=(224, 224),
+    rotation_mode: str = "factored",
+    calib_rotations: int = 5,
+    forward=None,
+):
+    """Int8 teacher forward for the variance filter (config #5's bound).
+
+    The sweep is teacher-forward-bound (~19 of 29 ms/batch-8 at bf16,
+    PERFORMANCE.md round 3-4); s8xs8->s32 MXU convs are the next rung
+    below bf16. Calibration taps the teacher's conv inputs while tracing
+    ONE fp sweep over `images` (a representative batch) — the calibration
+    distribution is exactly the filter's own warped, normalised patches,
+    on a theta subset spanning the rotation extremes (`calib_rotations`
+    evenly spaced over the full sweep, endpoints included). The final
+    heatmap projection stays fp (its logits feed the softmax decode).
+
+    Returns `(teacher_apply, Quantized)`: a jit-friendly
+    patches -> (N, J, 3) apply (interception activates at trace time
+    inside whatever jit/shard_map consumes it — same contract as the
+    serving pipeline's int8 path) and the bundle for persistence.
+
+    Accuracy gate: the keep set vs the fp32 filter on the same weights
+    (tests/test_distill.py::TestTeacherInt8) — the filter compares an
+    absolute variance threshold, so a dtype/precision change must not
+    flip keep decisions (same contract as --teacher-dtype bfloat16).
+
+    `forward` overrides the fp teacher body (patches -> (N, J, 3)); the
+    default is `model.apply` + `softmax_integral`. bench.py passes its
+    fused-projection-head teacher — the fused head consumes the final
+    conv's params directly (never a flax call), so it stays fp there by
+    construction, matching the explicit skip here.
+    """
+    import numpy as np
+
+    from hand_integral_pose_estimation_tpu.ops.integral import (
+        softmax_integral,
+    )
+    from hand_integral_pose_estimation_tpu.quantize import (
+        calibrate, quantize_params, quantized_calls,
+    )
+    import dataclasses
+
+    if forward is None:
+        def forward(patches):
+            hm = model.apply(variables, patches, train=False)
+            return softmax_integral(hm, num_joints, depth_dim)
+
+    full = np.linspace(-rotation_range, rotation_range, num_rotations)
+    idx = np.unique(np.round(
+        np.linspace(0, num_rotations - 1,
+                    min(calib_rotations, num_rotations))).astype(int))
+    thetas_sub = jnp.asarray(full[idx])
+
+    def calib_fn(im):
+        return rotation_sweep_camera(
+            forward, im, K, bbox, acfg, thetas_sub, rotation_range,
+            patch_hw, rotation_mode)[0]
+
+    amax = calibrate(calib_fn, images, root_type=type(model))
+    q = dataclasses.replace(
+        quantize_params(variables["params"], amax, skip=("head/final",)),
+        root_type=type(model))
+
+    def teacher_apply(patches):
+        with quantized_calls(q):
+            return forward(patches)
+
+    return teacher_apply, q
+
+
 def camera_project(joint_cam, K):
     from hand_integral_pose_estimation_tpu.geometry import camera
     return camera.project_points(joint_cam, jnp.eye(3, dtype=K.dtype), K)

@@ -43,17 +43,35 @@ class TwoStagePipeline:
     forward, fused decode, back-projection) executes on its own batch
     shard — serving scales over the mesh exactly like the reference
     wrapping both nets in DataParallel (common/base.py:179-284). The
-    global batch must divide by the data-axis size."""
+    global batch must divide by the data-axis size.
+
+    With `int8_calib=(images_rgb, K, ref_bone_len)`, both networks'
+    convs/matmuls execute as s8xs8->s32 MXU ops (quantize/ptq.py):
+    construction calibrates per-tensor activation scales by running the
+    pipeline itself on the given batch — once per model, because the two
+    networks share relative flax paths ('backbone/...') and must each
+    replay under their own root-type filter. The fused projection head
+    stays fp (its params are consumed directly by the Pallas kernel).
+    Composes with `mesh`: calibration runs un-meshed (scales are data
+    statistics), the quantized program then shards over `data`. The
+    bundles land on `self.quantized = (q_pose, q_det)` for reuse."""
 
     def __init__(self, cfg: Config, pose_net: ResPoseNet, pose_variables,
-                 detector: FasterRCNN, detector_variables, mesh=None):
+                 detector: FasterRCNN, detector_variables, mesh=None,
+                 int8_calib=None):
         self.cfg = cfg
         self.pose_net = pose_net
         self.pose_variables = pose_variables
         self.detector = detector
         self.detector_variables = detector_variables
         self.mesh = mesh
+        self.quantized = None
         run = self._build()
+        if int8_calib is not None:
+            run = self._quantize(run, int8_calib)
+        # un-jitted, un-meshed program (int8 applied); bench.py chains it
+        # through a device-side fori_loop for tunnel-safe timing
+        self._raw_run = run
         if mesh is not None:
             from jax.sharding import PartitionSpec as P
             data = P("data")
@@ -61,6 +79,59 @@ class TwoStagePipeline:
                                 in_specs=(P(), P(), data, data, data),
                                 out_specs=data, check_vma=False)
         self._run = jax.jit(run)
+
+    def _quantize(self, run, int8_calib):
+        """Calibrate both nets through the pipeline program and wrap `run`
+        so every traced conv/dense replays int8 (trace-time interception —
+        the wrapper activates inside whatever jit/shard_map traces it).
+
+        `int8_calib` is either `(images_rgb, K, ref_bone_len)` calibration
+        inputs, or a pre-built `(q_pose, q_det)` pair of `Quantized`
+        bundles (e.g. from `quantize.load_quantized` — calibrate once,
+        ship the bundles to every serving process)."""
+        from hand_integral_pose_estimation_tpu.quantize import (
+            Quantized, calibrate, quantize_params, quantized_calls,
+        )
+        import dataclasses
+
+        if (len(int8_calib) == 2
+                and all(isinstance(x, Quantized) for x in int8_calib)):
+            q_pose, q_det = int8_calib
+            for q, want in ((q_pose, type(self.pose_net)),
+                            (q_det, type(self.detector))):
+                if q.root_type is not None and q.root_type is not want:
+                    raise ValueError(
+                        f"int8 bundle order is (q_pose, q_det): got a "
+                        f"{q.root_type.__name__} bundle where a "
+                        f"{want.__name__} one was expected")
+            q_pose = dataclasses.replace(q_pose,
+                                         root_type=type(self.pose_net))
+            q_det = dataclasses.replace(q_det,
+                                        root_type=type(self.detector))
+        else:
+            images, K, ref = int8_calib
+            pv, dv = self.pose_variables, self.detector_variables
+
+            def calib_fn(im):
+                return run(pv, dv, im, K, ref).joints_cam
+
+            amax_det = calibrate(calib_fn, images,
+                                 root_type=type(self.detector))
+            amax_pose = calibrate(calib_fn, images,
+                                  root_type=type(self.pose_net))
+            q_det = dataclasses.replace(
+                quantize_params(dv["params"], amax_det),
+                root_type=type(self.detector))
+            q_pose = dataclasses.replace(
+                quantize_params(pv["params"], amax_pose,
+                                skip=("head/final",)),
+                root_type=type(self.pose_net))
+        self.quantized = (q_pose, q_det)
+
+        def qrun(pose_vars, det_vars, images_rgb, K, ref_bone_len):
+            with quantized_calls(q_det), quantized_calls(q_pose):
+                return run(pose_vars, det_vars, images_rgb, K, ref_bone_len)
+        return qrun
 
     def _build(self):
         cfg = self.cfg

@@ -3,17 +3,21 @@
 from hand_integral_pose_estimation_tpu.quantize.ptq import (
     Quantized,
     calibrate,
+    load_quantized,
     quantize_model,
     quantize_params,
     quantized_apply,
     quantized_calls,
+    save_quantized,
 )
 
 __all__ = [
     "Quantized",
     "calibrate",
+    "load_quantized",
     "quantize_model",
     "quantize_params",
     "quantized_apply",
     "quantized_calls",
+    "save_quantized",
 ]

@@ -281,6 +281,61 @@ def quantized_apply(model: nn.Module, variables, q: Quantized, *args,
 
 
 # ---------------------------------------------------------------------------
+# Persistence — calibrate once, ship the bundle to serving
+# ---------------------------------------------------------------------------
+
+
+def save_quantized(path: str, q: Quantized) -> None:
+    """Write a `Quantized` bundle to one .npz (int8 kernels, fp32 scales
+    and biases, activation scales + skip list + root-type name as JSON
+    metadata). `root_type` is a Python type and cannot round-trip — its
+    NAME is stored and verified by `load_quantized(root_type=...)`."""
+    import json
+
+    import numpy as np
+
+    arrs: Dict[str, Any] = {}
+    for p, v in q.kernels.items():
+        arrs["k//" + p] = np.asarray(v)
+    for p, v in q.kscales.items():
+        arrs["s//" + p] = np.asarray(v)
+    for p, v in q.biases.items():
+        arrs["b//" + p] = np.asarray(v)
+    meta = {"ascales": q.ascales, "skipped": list(q.skipped),
+            "root_type": q.root_type.__name__ if q.root_type else None}
+    arrs["meta"] = np.frombuffer(json.dumps(meta).encode(), np.uint8)
+    np.savez(path, **arrs)
+
+
+def load_quantized(path: str, root_type: Optional[type] = None) -> Quantized:
+    """Load a bundle saved by `save_quantized`. Pass the model class as
+    `root_type` to re-arm the replay filter (raises if it does not match
+    the saved name — loading the detector bundle into the pose net would
+    otherwise silently replay the wrong weights)."""
+    import json
+
+    import numpy as np
+
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["meta"]))
+        kernels, kscales, biases = {}, {}, {}
+        for key in z.files:
+            if key == "meta":
+                continue
+            kind, p = key.split("//", 1)
+            arr = jnp.asarray(z[key])
+            (kernels if kind == "k" else
+             kscales if kind == "s" else biases)[p] = arr
+    saved = meta["root_type"]
+    if root_type is not None and saved not in (None, root_type.__name__):
+        raise ValueError(
+            f"quantized bundle {path} was built for root type {saved!r}, "
+            f"not {root_type.__name__!r}")
+    return Quantized(kernels, kscales, meta["ascales"], biases,
+                     tuple(meta["skipped"]), root_type)
+
+
+# ---------------------------------------------------------------------------
 # One-call convenience
 # ---------------------------------------------------------------------------
 

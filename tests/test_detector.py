@@ -682,6 +682,44 @@ class TestEvaluateCLI:
         assert np.isfinite(np.asarray(
             json.load(open(res / "pred.json"))[0])).all()
 
+    def test_int8_two_stage(self, tmp_path):
+        """--int8: both nets quantized through the pipeline (first-batch
+        calibration) and the sweep still dumps a finite pred.json."""
+        import json
+        import pytest
+        from hand_integral_pose_estimation_tpu.cli import evaluate as ecli
+
+        res = tmp_path / "res_int8"
+        db = str(tmp_path / "q8")
+        argv = [
+            "--synthetic", "--synthetic-size", "4", "--batch-size", "2",
+            "--use-detector", "--int8", "--int8-db", db,
+            "--detector-resnet", "18", "--detector-scale", "64",
+            "--detector-proposals", "16",
+            "--pose-resnet", "18", "--pose-input", "64",
+            "--model-dir", str(tmp_path / "no_ckpt"),
+            "--result-dir", str(res),
+        ]
+        ecli.main(argv)
+        xyz = np.asarray(json.load(open(res / "pred.json"))[0])
+        assert xyz.shape == (4, 21, 3)
+        assert np.isfinite(xyz).all()
+        # calibration persisted the bundles; a second run reuses them
+        # (calibrate once, ship everywhere) and reproduces the dump exactly
+        assert (tmp_path / "q8.pose.npz").exists()
+        assert (tmp_path / "q8.det.npz").exists()
+        ecli.main(argv)
+        xyz2 = np.asarray(json.load(open(res / "pred.json"))[0])
+        np.testing.assert_array_equal(xyz2, xyz)
+
+        # --int8 without the detector path must fail loudly, not silently
+        # run the fp Tester sweep
+        with pytest.raises(SystemExit, match="two-stage"):
+            ecli.main(["--synthetic", "--synthetic-size", "4", "--int8",
+                       "--pose-resnet", "18", "--pose-input", "64",
+                       "--model-dir", str(tmp_path / "no_ckpt"),
+                       "--result-dir", str(res)])
+
 
 class TestVGGBackbone:
     def test_vgg_base_stride16(self, rng):

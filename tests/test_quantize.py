@@ -261,3 +261,161 @@ class TestDetectorPTQ:
         assert np.isfinite(np.asarray(out_q.cls_scores)).all()
         np.testing.assert_allclose(
             np.asarray(out_q.cls_scores.sum(-1)), 1.0, atol=1e-5)
+
+
+class TestPipelineInt8:
+    """First-class int8 serving: `TwoStagePipeline(int8_calib=...)`.
+
+    Construction must calibrate BOTH nets through the pipeline program
+    (per-model Quantized bundles — the nets share relative 'backbone/...'
+    paths), the int8 program must actually engage, and the path must
+    compose with `mesh=` (shard_map traces the quantized body; the meshed
+    int8 program must match the single-device int8 program)."""
+
+    @pytest.fixture(scope="class")
+    def bits(self):
+        from hand_integral_pose_estimation_tpu.inference import (
+            TwoStagePipeline,
+        )
+        det_cfg = DetectorConfig(
+            resnet_type=18, test_scale=64, test_max_size=64,
+            rpn_pre_nms_top_n_test=64, rpn_post_nms_top_n_test=16,
+            rpn_pre_nms_top_n_train=64, rpn_post_nms_top_n_train=16,
+            roi_batch_size=8, max_detections=5, rpn_min_size=2)
+        det = FasterRCNN(cfg=det_cfg)
+        det_vars = det.init(
+            {"params": jax.random.PRNGKey(0),
+             "sampling": jax.random.PRNGKey(1)}, jnp.zeros((1, 64, 64, 3)))
+        cfg = Config(
+            model=ModelConfig(resnet_type=18, input_shape=(64, 64),
+                              output_shape=(16, 16), depth_dim=8,
+                              compute_dtype="float32"),
+            detector=det_cfg)
+        pose = get_pose_net(cfg.model)
+        pose_vars = pose.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 64, 64, 3)))
+        r = np.random.RandomState(7)
+        imgs = jnp.asarray(r.randint(0, 255, (8, 64, 64, 3)), jnp.uint8)
+        K = jnp.broadcast_to(
+            jnp.asarray([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1.0]]),
+            (8, 3, 3))
+        ref_len = jnp.ones(8)
+        q_pipe = TwoStagePipeline(cfg, pose, pose_vars, det, det_vars,
+                                  int8_calib=(imgs, K, ref_len))
+        return (cfg, pose, pose_vars, det, det_vars, imgs, K, ref_len,
+                TwoStagePipeline, q_pipe)
+
+    def test_engages_both_models(self, bits):
+        (cfg, pose, pose_vars, det, det_vars, imgs, K, ref_len,
+         TwoStagePipeline, q_pipe) = bits
+        q_pose, q_det = q_pipe.quantized
+        assert len(q_pose.paths) > 10, q_pose.skipped   # backbone + deconvs
+        assert len(q_det.paths) > 10, q_det.skipped     # backbone + RPN + head
+        # fused projection head stays fp by contract
+        assert not any(p.startswith("head/final") for p in q_pose.paths)
+
+        # (int8 *engagement* under interception is proven bit-exactly by
+        # the layer oracles and TestRootFilter; here the whole quantized
+        # two-stage program must run and decode sanely — an fp pipeline
+        # for a diff would cost a second 2-stage CPU compile for no new
+        # information)
+        out_q = q_pipe(imgs, K, ref_len)
+        assert bool(jnp.isfinite(out_q.joints_cam).all())
+        assert bool((out_q.crop_bbox[:, 2:] > 0).all())
+        # decodes to coordinates in the patch-space range
+        # (half-pixel slack: the integral decode centers on pixel centers)
+        hw = cfg.model.input_shape
+        xy = np.asarray(out_q.coords_label)[..., :2]
+        assert xy.min() >= -1.0 and xy.max() <= max(hw) + 1.0
+
+    def test_mesh_matches_single_device(self, bits):
+        from hand_integral_pose_estimation_tpu.parallel import make_mesh
+        (cfg, pose, pose_vars, det, det_vars, imgs, K, ref_len,
+         TwoStagePipeline, q_pipe) = bits
+        assert jax.device_count() == 8
+        mesh = make_mesh(model_parallelism=2)
+        meshed = TwoStagePipeline(cfg, pose, pose_vars, det, det_vars,
+                                  mesh=mesh, int8_calib=(imgs, K, ref_len))
+        # identical calibration (same inputs, same program, un-meshed)
+        for a, b in zip(meshed.quantized, q_pipe.quantized):
+            assert a.ascales == b.ascales
+        ref = q_pipe(imgs, K, ref_len)
+        out = meshed(imgs, K, ref_len)
+        np.testing.assert_allclose(out.joints_cam, ref.joints_cam, atol=1e-4)
+        np.testing.assert_allclose(out.crop_bbox, ref.crop_bbox, atol=1e-4)
+        # outputs really shard over the mesh
+        shardings = {str(x.sharding.spec) for x in out}
+        assert any("data" in s for s in shardings), shardings
+
+    def test_persisted_bundles_reproduce(self, bits, tmp_path):
+        """TwoStagePipeline(int8_calib=(q_pose, q_det)) skips calibration
+        and reproduces the self-calibrated pipeline bit-exactly; swapped
+        bundle order fails loudly (root-type guard)."""
+        from hand_integral_pose_estimation_tpu.quantize import (
+            load_quantized, save_quantized,
+        )
+        (cfg, pose, pose_vars, det, det_vars, imgs, K, ref_len,
+         TwoStagePipeline, q_pipe) = bits
+        q_pose, q_det = q_pipe.quantized
+        fp, fd = str(tmp_path / "qp.npz"), str(tmp_path / "qd.npz")
+        save_quantized(fp, q_pose)
+        save_quantized(fd, q_det)
+        loaded = (load_quantized(fp, root_type=type(pose)),
+                  load_quantized(fd, root_type=type(det)))
+        shipped = TwoStagePipeline(cfg, pose, pose_vars, det, det_vars,
+                                   int8_calib=loaded)
+        ref_out = q_pipe(imgs, K, ref_len)
+        out = shipped(imgs, K, ref_len)
+        np.testing.assert_array_equal(np.asarray(out.joints_cam),
+                                      np.asarray(ref_out.joints_cam))
+        np.testing.assert_array_equal(np.asarray(out.crop_bbox),
+                                      np.asarray(ref_out.crop_bbox))
+        # wrong order caught before any tracing
+        with pytest.raises(ValueError, match="q_pose, q_det"):
+            TwoStagePipeline(cfg, pose, pose_vars, det, det_vars,
+                             int8_calib=(loaded[1], loaded[0]))
+
+
+class TestPersistence:
+    """save_quantized/load_quantized: calibrate once, ship the bundle."""
+
+    def test_roundtrip_exact(self, rng, tmp_path):
+        class Net(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                x = nn.Conv(8, (3, 3), padding=1, dtype=jnp.float32)(x)
+                x = nn.relu(x)
+                x = nn.ConvTranspose(4, (2, 2), strides=(2, 2),
+                                     dtype=jnp.float32)(x)
+                return nn.Dense(5, dtype=jnp.float32)(x)
+
+        net = Net()
+        x = jnp.asarray(rng.randn(2, 8, 8, 3), jnp.float32)
+        variables = net.init(jax.random.PRNGKey(0), x)
+        q = quantize_model(net, variables, [x])
+        from hand_integral_pose_estimation_tpu.quantize import (
+            load_quantized, save_quantized,
+        )
+        f = str(tmp_path / "q.npz")
+        save_quantized(f, q)
+        q2 = load_quantized(f, root_type=Net)
+        assert q2.paths == q.paths
+        assert q2.skipped == q.skipped
+        assert q2.ascales == q.ascales
+        for p in q.paths:
+            np.testing.assert_array_equal(np.asarray(q2.kernels[p]),
+                                          np.asarray(q.kernels[p]))
+            assert q2.kernels[p].dtype == jnp.int8
+            np.testing.assert_array_equal(np.asarray(q2.kscales[p]),
+                                          np.asarray(q.kscales[p]))
+        # bit-identical replay
+        np.testing.assert_array_equal(
+            np.asarray(quantized_apply(net, variables, q, x)),
+            np.asarray(quantized_apply(net, variables, q2, x)))
+        # wrong root type is rejected
+        class Other(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return x
+        with pytest.raises(ValueError, match="root type"):
+            load_quantized(f, root_type=Other)
