@@ -91,6 +91,7 @@ class TwoStagePipeline:
         ship the bundles to every serving process)."""
         from hand_integral_pose_estimation_tpu.quantize import (
             Quantized, calibrate, quantize_params, quantized_calls,
+            verify_source_params,
         )
         import dataclasses
 
@@ -99,15 +100,26 @@ class TwoStagePipeline:
             q_pose, q_det = int8_calib
             for q, want in ((q_pose, type(self.pose_net)),
                             (q_det, type(self.detector))):
-                if q.root_type is not None and q.root_type is not want:
+                if q.root_type is None:
+                    # both nets share relative 'backbone/...' paths, so an
+                    # unlabelled bundle in the wrong slot would silently
+                    # replay the other model's weights — require the label
+                    # (load_quantized(root_type=...) sets it)
+                    raise ValueError(
+                        "pre-built int8 bundles must carry root_type "
+                        f"(expected {want.__name__}); load them with "
+                        "quantize.load_quantized(path, root_type=ModelCls)")
+                if q.root_type is not want:
                     raise ValueError(
                         f"int8 bundle order is (q_pose, q_det): got a "
                         f"{q.root_type.__name__} bundle where a "
                         f"{want.__name__} one was expected")
-            q_pose = dataclasses.replace(q_pose,
-                                         root_type=type(self.pose_net))
-            q_det = dataclasses.replace(q_det,
-                                        root_type=type(self.detector))
+            # the bundle carries its own kernels, so pairing a stale bundle
+            # with a newer checkpoint would silently serve old weights
+            verify_source_params(q_pose, self.pose_variables["params"],
+                                 "pose net")
+            verify_source_params(q_det, self.detector_variables["params"],
+                                 "detector")
         else:
             images, K, ref = int8_calib
             pv, dv = self.pose_variables, self.detector_variables

@@ -167,6 +167,12 @@ class Quantized:
     biases: Dict[str, jax.Array]        # float32 (only for use_bias modules)
     skipped: Tuple[str, ...] = ()
     root_type: Optional[type] = None
+    # fingerprint of the SOURCE params the kernels were quantized from
+    # (shape + moment hash per path): replay takes kernels from the bundle,
+    # not live params, so a persisted bundle silently pairing with a
+    # different checkpoint would serve stale weights — verify_source_params
+    # catches that loudly.
+    params_digest: Optional[str] = None
 
     @property
     def paths(self) -> Tuple[str, ...]:
@@ -182,6 +188,47 @@ def _lookup(tree, path: str):
             return None
         node = node[part]
     return node
+
+
+def digest_params(params, paths: Iterable[str]) -> str:
+    """Order-independent fingerprint of the kernels at `paths`.
+
+    Hashes each kernel's path, shape and two float64 moments (sum,
+    abs-sum) — cheap, deterministic on host, and any checkpoint swap
+    moves the moments. Used to pair a persisted `Quantized` bundle with
+    the checkpoint it was built from (ADVICE r4: a stale --int8-db bundle
+    must not silently ride a newer checkpoint)."""
+    import hashlib
+
+    import numpy as np
+
+    h = hashlib.sha256()
+    for p in sorted(paths):
+        leaf = _lookup(params, p)
+        if leaf is None or "kernel" not in leaf:
+            h.update(("missing:" + p).encode())
+            continue
+        k = np.asarray(jax.device_get(leaf["kernel"]), np.float64)
+        h.update(p.encode())
+        h.update(str(k.shape).encode())
+        h.update(np.float64(k.sum()).tobytes())
+        h.update(np.float64(np.abs(k).sum()).tobytes())
+    return h.hexdigest()[:16]
+
+
+def verify_source_params(q: Quantized, params, what: str = "model") -> None:
+    """Raise unless `params` are the params `q` was quantized from.
+
+    No-op for legacy bundles without a digest (pre-round-5 .npz files)."""
+    if q.params_digest is None:
+        return
+    live = digest_params(params, q.paths)
+    if live != q.params_digest:
+        raise ValueError(
+            f"quantized bundle does not match the live {what} params "
+            f"(bundle digest {q.params_digest}, live {live}): the bundle "
+            f"was calibrated from a different checkpoint — rebuild it "
+            f"(cli.evaluate --int8 without --int8-db, or quantize_model)")
 
 
 def quantize_params(params, amax: Dict[str, float],
@@ -212,7 +259,8 @@ def quantize_params(params, amax: Dict[str, float],
         ascales[path] = a / 127.0
         if "bias" in leaf:
             biases[path] = jnp.asarray(leaf["bias"], jnp.float32)
-    return Quantized(kernels, kscales, ascales, biases, tuple(skipped))
+    return Quantized(kernels, kscales, ascales, biases, tuple(skipped),
+                     params_digest=digest_params(params, kernels))
 
 
 # ---------------------------------------------------------------------------
@@ -302,7 +350,8 @@ def save_quantized(path: str, q: Quantized) -> None:
     for p, v in q.biases.items():
         arrs["b//" + p] = np.asarray(v)
     meta = {"ascales": q.ascales, "skipped": list(q.skipped),
-            "root_type": q.root_type.__name__ if q.root_type else None}
+            "root_type": q.root_type.__name__ if q.root_type else None,
+            "params_digest": q.params_digest}
     arrs["meta"] = np.frombuffer(json.dumps(meta).encode(), np.uint8)
     np.savez(path, **arrs)
 
@@ -332,7 +381,8 @@ def load_quantized(path: str, root_type: Optional[type] = None) -> Quantized:
             f"quantized bundle {path} was built for root type {saved!r}, "
             f"not {root_type.__name__!r}")
     return Quantized(kernels, kscales, meta["ascales"], biases,
-                     tuple(meta["skipped"]), root_type)
+                     tuple(meta["skipped"]), root_type,
+                     params_digest=meta.get("params_digest"))
 
 
 # ---------------------------------------------------------------------------

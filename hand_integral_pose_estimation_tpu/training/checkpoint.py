@@ -61,7 +61,13 @@ def load_checkpoint(ckpt_dir: str, state_like: TrainState,
     path = os.path.join(os.path.abspath(ckpt_dir), f"snapshot_{epoch}")
     ckptr = ocp.PyTreeCheckpointer()
     template = {"epoch": 0, "state": state_like}
-    restored = ckptr.restore(path, item=template)
+    # restore onto the TEMPLATE's shardings, not the shardings recorded in
+    # the snapshot: a snapshot written under one mesh shape must restore
+    # onto any other (single device, pure-DP, model-sharded — tested in
+    # tests/test_training.py::TestCheckpointCrossTopology); orbax's
+    # sharding-from-file fallback is documented unsafe cross-topology
+    restore_args = ocp.checkpoint_utils.construct_restore_args(template)
+    restored = ckptr.restore(path, item=template, restore_args=restore_args)
     state = restored["state"]
     if not isinstance(state, TrainState):
         state = TrainState(**state)

@@ -27,6 +27,7 @@
 #include <csetjmp>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <functional>
 #include <mutex>
@@ -49,9 +50,32 @@ void jpeg_error_exit(j_common_ptr cinfo) {
 
 // Decode one JPEG file to RGB, bilinearly resizing to (out_h, out_w) if the
 // native size differs. Returns 0 on success.
+//
+// Measured negative (round 5): JDCT_IFAST + plain upsampling bought only
+// +2.5 % on this host (libjpeg-turbo's default ISLOW is already SIMD) at a
+// 12-LSB pixel deviation vs the cv2-equivalent accurate path — dropped.
+//
+// Decodes scanlines STRAIGHT into `out` when the file is already
+// (out_h, out_w) — the FreiHAND 224-px steady state — avoiding a per-image
+// heap allocation + 150 KB copy; the source is the whole file slurped into
+// memory (jpeg_mem_src: no per-scanline stdio locking).
 int decode_jpeg_file(const char* path, uint8_t* out, int out_h, int out_w) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
+  std::vector<uint8_t> blob;
+  {
+    fseek(f, 0, SEEK_END);
+    const long sz = ftell(f);
+    if (sz <= 0) {
+      fclose(f);
+      return -1;
+    }
+    blob.resize(static_cast<size_t>(sz));
+    fseek(f, 0, SEEK_SET);
+    const size_t got = fread(blob.data(), 1, blob.size(), f);
+    fclose(f);
+    if (got != blob.size()) return -1;
+  }
 
   jpeg_decompress_struct cinfo;
   JpegErrorMgr jerr;
@@ -59,31 +83,37 @@ int decode_jpeg_file(const char* path, uint8_t* out, int out_h, int out_w) {
   jerr.pub.error_exit = jpeg_error_exit;
   if (setjmp(jerr.setjmp_buffer)) {
     jpeg_destroy_decompress(&cinfo);
-    fclose(f);
     return -2;
   }
 
   jpeg_create_decompress(&cinfo);
-  jpeg_stdio_src(&cinfo, f);
+  jpeg_mem_src(&cinfo, blob.data(), blob.size());
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
   jpeg_start_decompress(&cinfo);
 
   const int w = cinfo.output_width;
   const int h = cinfo.output_height;
-  std::vector<uint8_t> img(static_cast<size_t>(w) * h * 3);
+  const bool direct = (w == out_w && h == out_h);
+  std::vector<uint8_t> img;
+  uint8_t* dst = out;
+  if (!direct) {
+    img.resize(static_cast<size_t>(w) * h * 3);
+    dst = img.data();
+  }
   while (cinfo.output_scanline < cinfo.output_height) {
-    uint8_t* row = img.data() + static_cast<size_t>(cinfo.output_scanline) * w * 3;
-    jpeg_read_scanlines(&cinfo, &row, 1);
+    // hand libjpeg as many row pointers as it will take per call
+    JSAMPROW rows[16];
+    const int remaining = h - static_cast<int>(cinfo.output_scanline);
+    const int want = remaining < 16 ? remaining : 16;
+    for (int r = 0; r < want; ++r)
+      rows[r] = dst + (static_cast<size_t>(cinfo.output_scanline) + r) * w * 3;
+    jpeg_read_scanlines(&cinfo, rows, want);
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
-  fclose(f);
 
-  if (w == out_w && h == out_h) {
-    std::memcpy(out, img.data(), img.size());
-    return 0;
-  }
+  if (direct) return 0;
   // bilinear resize (host fallback; the common FreiHAND case is 224==224)
   const float sx = static_cast<float>(w) / out_w;
   const float sy = static_cast<float>(h) / out_h;

@@ -286,6 +286,77 @@ class TestTeacherDtype:
                                    atol=2e-3)
 
 
+class TestTeacherInt8:
+    """--teacher-dtype int8 (distill.quantized_teacher_apply): the int8
+    teacher must not flip keep decisions vs the fp32 filter on the same
+    weights — same contract TestTeacherDtype gates for bfloat16, at the
+    coarser precision rung. The threshold is derived from the measured
+    f32 variances (largest-gap placement) so the keep set is mixed by
+    construction and the margin assertion is meaningful."""
+
+    def _net(self):
+        from hand_integral_pose_estimation_tpu.config import ModelConfig
+        from hand_integral_pose_estimation_tpu.models import get_pose_net
+        cfg = ModelConfig(resnet_type=18, input_shape=(32, 32),
+                          output_shape=(8, 8), depth_dim=8,
+                          compute_dtype="float32")
+        net = get_pose_net(cfg)
+        variables = net.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, 32, 32, 3)))
+        return net, variables
+
+    def test_int8_keep_set_matches_fp32(self):
+        from hand_integral_pose_estimation_tpu.config import AugmentConfig
+        from hand_integral_pose_estimation_tpu.distill.teacher_labels import (
+            quantized_teacher_apply,
+        )
+        from hand_integral_pose_estimation_tpu.ops.integral import (
+            softmax_integral,
+        )
+
+        rng = np.random.RandomState(11)
+        imgs, joints, Ks, bbox = _setup(rng, B=4)
+        net, variables = self._net()
+
+        def fp_forward(patches):
+            hm = net.apply(variables, patches, train=False)
+            return softmax_integral(hm, 21, 8, impl="xla")
+
+        acfg = AugmentConfig()
+        probe = generate_filtered_labels(
+            fp_forward, imgs, Ks, bbox, jnp.zeros(4, bool), joints,
+            num_rotations=5, patch_hw=(32, 32))
+        vs = np.sort(np.asarray(probe.variance))
+        # threshold in the LARGEST inter-variance gap: int8 shifts
+        # predictions more than bf16, so give the keep set the widest
+        # margin the fixture offers
+        gaps = np.diff(vs)
+        g = int(np.argmax(gaps))
+        assert 0 < g + 1 < len(vs)       # mixed keep set by construction
+        threshold = float((vs[g] + vs[g + 1]) / 2)
+        margin = float(gaps[g] / 2)
+
+        int8_forward, q8 = quantized_teacher_apply(
+            net, variables, imgs, Ks, bbox, acfg, 21, 8,
+            num_rotations=5, patch_hw=(32, 32), forward=fp_forward)
+        assert len(q8.paths) > 5, q8.skipped     # really quantized
+
+        out = {}
+        for name, fwd in (("fp32", fp_forward), ("int8", int8_forward)):
+            out[name] = generate_filtered_labels(
+                fwd, imgs, Ks, bbox, jnp.zeros(4, bool), joints,
+                num_rotations=5, variance_threshold=threshold,
+                patch_hw=(32, 32))
+        keep = np.asarray(out["fp32"].keep)
+        assert keep.any() and not keep.all(), keep
+        np.testing.assert_array_equal(keep, np.asarray(out["int8"].keep))
+        # the int8-induced variance shift must sit inside the gap margin,
+        # otherwise keep equality above was luck
+        dv = np.abs(np.asarray(out["fp32"].variance)
+                    - np.asarray(out["int8"].variance))
+        assert dv.max() < margin, (dv, margin)
+
+
 class TestCascade:
     """Early-reject cascade (distill/cascade.py): the subset variance bound
     Var_T >= (n/T)*Var_S makes the two-pass filter's keep set EXACTLY the

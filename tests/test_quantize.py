@@ -374,6 +374,22 @@ class TestPipelineInt8:
         with pytest.raises(ValueError, match="q_pose, q_det"):
             TwoStagePipeline(cfg, pose, pose_vars, det, det_vars,
                              int8_calib=(loaded[1], loaded[0]))
+        # a root_type-less bundle is rejected outright in the pre-built
+        # path: both nets share relative 'backbone/...' paths, so an
+        # unlabelled bundle in the wrong slot would replay silently
+        # (ADVICE r4, inference.py order guard)
+        import dataclasses
+        unlabelled = dataclasses.replace(loaded[0], root_type=None)
+        with pytest.raises(ValueError, match="root_type"):
+            TwoStagePipeline(cfg, pose, pose_vars, det, det_vars,
+                             int8_calib=(unlabelled, loaded[1]))
+        # a stale bundle (built from different weights) is rejected by the
+        # source-params digest before any tracing
+        stale_vars = pose.init(jax.random.PRNGKey(99),
+                               jnp.zeros((1, 64, 64, 3)))
+        with pytest.raises(ValueError, match="different checkpoint"):
+            TwoStagePipeline(cfg, pose, stale_vars, det, det_vars,
+                             int8_calib=loaded)
 
 
 class TestPersistence:
@@ -419,3 +435,19 @@ class TestPersistence:
                 return x
         with pytest.raises(ValueError, match="root type"):
             load_quantized(f, root_type=Other)
+
+        # the source-params fingerprint round-trips and arms the
+        # stale-bundle guard (ADVICE r4: a persisted bundle silently
+        # pairing with a different checkpoint must fail loudly)
+        from hand_integral_pose_estimation_tpu.quantize import (
+            verify_source_params,
+        )
+        assert q2.params_digest == q.params_digest is not None
+        verify_source_params(q2, variables["params"])     # matching: no-op
+        other_vars = net.init(jax.random.PRNGKey(1), x)
+        with pytest.raises(ValueError, match="different checkpoint"):
+            verify_source_params(q2, other_vars["params"])
+        # legacy bundles (no digest) stay loadable and unverified
+        import dataclasses
+        legacy = dataclasses.replace(q, params_digest=None)
+        verify_source_params(legacy, other_vars["params"])

@@ -240,6 +240,75 @@ class TestTrainerMesh:
             mk(5, mesh=make_mesh())
 
 
+class TestCheckpointCrossTopology:
+    """Restore across mesh shapes (VERDICT r4 #5): a snapshot written under
+    (data=4, model=2) must restore onto a single device AND onto a pure-DP
+    (data=8) mesh, and training must continue from the same point — the
+    restore path an operator actually hits when the machine shape changes
+    between runs (the reference's resume, base.py:62-71, never faced this
+    because DataParallel state lives gathered on GPU 0)."""
+
+    def _cfg(self):
+        return Config(
+            model=ModelConfig(resnet_type=18, input_shape=(32, 32),
+                              output_shape=(8, 8), depth_dim=8,
+                              compute_dtype="float32"),
+            train=TrainConfig(batch_size=8, lr=1e-3),
+        )
+
+    def test_restore_across_mesh_shapes(self, tmp_path):
+        import tempfile
+
+        cfg = self._cfg()
+        ds = SyntheticFreiHand(n=16, image_hw=(32, 32), seed=3)
+        d = str(tmp_path / "ckpt")
+        t = Trainer(cfg=cfg, dataset=ds, model_dir=d, integral_impl="xla",
+                    auto_mesh=True, model_parallelism=2, seed=0)
+        assert dict(zip(t.mesh.axis_names, t.mesh.devices.shape)) == {
+            "data": 4, "model": 2}
+        t.run_epoch(0, num_steps=1, log_every=100)
+        save_checkpoint(d, t.state, 0)
+        saved = jax.tree_util.tree_map(np.asarray, t.state.params)
+        saved_step = int(t.state.step)
+
+        # (a) restore onto a single device
+        t1 = Trainer(cfg=cfg, dataset=ds, model_dir=d, integral_impl="xla",
+                     continue_train=True, seed=0)
+        assert t1.mesh is None and t1.start_epoch == 1
+        assert int(t1.state.step) == saved_step
+        for a, b in zip(jax.tree_util.tree_leaves(saved),
+                        jax.tree_util.tree_leaves(t1.state.params)):
+            np.testing.assert_array_equal(a, np.asarray(b))
+        m1 = t1.run_epoch(t1.start_epoch, num_steps=1, log_every=100)
+        assert np.isfinite(m1["loss"])
+
+        # (b) restore onto a different topology: pure-DP (data=8)
+        t8 = Trainer(cfg=cfg, dataset=ds, model_dir=d, integral_impl="xla",
+                     continue_train=True, auto_mesh=True, seed=0)
+        assert t8.start_epoch == 1
+        assert dict(zip(t8.mesh.axis_names, t8.mesh.devices.shape)) == {
+            "data": 8, "model": 1}
+        for a, b in zip(jax.tree_util.tree_leaves(saved),
+                        jax.tree_util.tree_leaves(t8.state.params)):
+            np.testing.assert_array_equal(a, np.asarray(b))
+        # loss continuity: same restored params, same host sampling stream
+        # -> the continued step agrees with the single-device continuation
+        m8 = t8.run_epoch(t8.start_epoch, num_steps=1, log_every=100)
+        np.testing.assert_allclose(m8["loss"], m1["loss"], rtol=5e-4)
+
+        # (c) and back onto the original sharded topology
+        t42 = Trainer(cfg=cfg, dataset=ds,
+                      model_dir=d, integral_impl="xla",
+                      continue_train=True, auto_mesh=True,
+                      model_parallelism=2, seed=0)
+        assert t42.start_epoch == 1
+        m42 = t42.run_epoch(t42.start_epoch, num_steps=1, log_every=100)
+        np.testing.assert_allclose(m42["loss"], m1["loss"], rtol=5e-4)
+        # model-sharded final projection really is sharded after restore
+        k = t42.state.params["head"]["final"]["kernel"]
+        assert "model" in str(k.sharding.spec), k.sharding
+
+
 class TestMultihostMesh:
     def test_reduces_to_single_process_mesh(self):
         """One process: same device set/shape as make_mesh; model groups are
