@@ -305,7 +305,7 @@ def _teacher_setup(batch, dtype=None):
     )
 
     cfg = Config()
-    if dtype is not None:
+    if dtype is not None and dtype != "int8":
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
             cfg.model, compute_dtype=dtype))
     net = get_pose_net(cfg.model)
@@ -329,6 +329,18 @@ def _teacher_setup(batch, dtype=None):
         return head_projection_integral(feats, Wp, bp,
                                         cfg.model.num_joints,
                                         cfg.model.depth_dim)
+
+    if dtype == "int8":
+        # s8xs8->s32 teacher convs (distill.quantized_teacher_apply):
+        # calibration runs the filter's OWN warped patches through the fp
+        # sweep; the fused projection head stays fp by construction
+        from hand_integral_pose_estimation_tpu.distill.teacher_labels import (
+            quantized_teacher_apply,
+        )
+        teacher_apply, _ = quantized_teacher_apply(
+            net, variables, images, K, bbox, cfg.augment,
+            cfg.model.num_joints, cfg.model.depth_dim,
+            patch_hw=cfg.model.input_shape, forward=teacher_apply)
 
     return cfg, teacher_apply, images, K, bbox, labelled, joints
 
@@ -965,9 +977,12 @@ def _parse_args(argv=None):
                    help="config 5: images per generation batch (each runs "
                    "batch*21 rotated teacher forwards)")
     p.add_argument("--teacher-dtype", default=None,
-                   choices=("float32", "bfloat16"),
+                   choices=("float32", "bfloat16", "int8"),
                    help="config 5: override the teacher compute dtype "
-                   "(default = config default, bfloat16)")
+                   "(default = config default, bfloat16; int8 runs the "
+                   "teacher convs as s8xs8->s32 via "
+                   "distill.quantized_teacher_apply, keep-set gate "
+                   "tests/test_distill.py::TestTeacherInt8)")
     p.add_argument("--teacher-cascade", type=int, default=None,
                    metavar="PASS1_ROTATIONS",
                    help="config 5: measure the exact early-reject cascade "

@@ -123,12 +123,190 @@ def train_breakdown(batch):
               f"  {B / t:9.1f} img/s")
 
 
+def detector_breakdown(batch=4, size=600, resnet_type=101, proposals=None):
+    """Stage split of the parity-scale detector (config #4): base backbone /
+    RPN convs / proposal layer (decode+topk+NMS) / NMS alone / ROIAlign /
+    stage-4 tail+heads / full detect. Stage inputs are CAPTURED from a real
+    forward on the realistic synthetic scenes, so the NMS sees the true
+    clustered proposal distribution (its fixpoint iteration count depends on
+    it, PERFORMANCE.md round 3)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from bench import _detector_images
+    from hand_integral_pose_estimation_tpu.config import DetectorConfig
+    from hand_integral_pose_estimation_tpu.detect import box_ops
+    from hand_integral_pose_estimation_tpu.detect.faster_rcnn import (
+        FasterRCNN,
+    )
+    from hand_integral_pose_estimation_tpu.detect.hand_detector import detect
+    from hand_integral_pose_estimation_tpu.detect.rpn import proposal_layer
+    from hand_integral_pose_estimation_tpu.models.resnet import (
+        ResNetBackbone, ResNetStage4,
+    )
+    from hand_integral_pose_estimation_tpu.ops.nms import nms
+    from hand_integral_pose_estimation_tpu.ops.roi_align import (
+        roi_align_batched,
+    )
+
+    kw = {} if proposals is None else dict(rpn_post_nms_top_n_test=proposals)
+    cfg = DetectorConfig(resnet_type=resnet_type, test_scale=size,
+                         test_max_size=size, **kw)
+    model = FasterRCNN(cfg=cfg)
+    images = _detector_images(batch, size)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        jnp.zeros((1, size, size, 3)))
+    v, bs = variables["params"], variables["batch_stats"]
+
+    # ---- capture real stage inputs with one annotated forward
+    base = ResNetBackbone(cfg.resnet_type, jnp.float32, None, num_stages=3,
+                          norm=cfg.norm, style=cfg.resnet_style)
+    base_vars = {"params": v["base"],
+                 "batch_stats": bs["base"]} if "base" in bs else \
+                {"params": v["base"]}
+    feats = jax.jit(lambda im: base.apply(base_vars, im, train=False))(
+        images)
+    fh, fw = feats.shape[1], feats.shape[2]
+    A = len(cfg.anchor_scales) * len(cfg.anchor_ratios)
+
+    def rpn_heads(feats):
+        import flax.linen as nn
+        trunk = nn.relu(jax.lax.conv_general_dilated(
+            feats, v["rpn_conv"]["kernel"], (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            + v["rpn_conv"]["bias"])
+        cls = (jax.lax.conv_general_dilated(
+            trunk, v["rpn_cls"]["kernel"], (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            + v["rpn_cls"]["bias"]).reshape(batch, fh, fw, A, 2)
+        reg = (jax.lax.conv_general_dilated(
+            trunk, v["rpn_bbox"]["kernel"], (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            + v["rpn_bbox"]["bias"]).reshape(batch, fh, fw, A, 4)
+        return cls, reg
+
+    rpn_cls, rpn_reg = jax.jit(rpn_heads)(feats)
+    anchors = box_ops.grid_anchors(
+        (fh, fw), cfg.feat_stride,
+        box_ops.generate_base_anchors(cfg.feat_stride, cfg.anchor_ratios,
+                                      cfg.anchor_scales))
+    pre_n = cfg.rpn_pre_nms_top_n_test
+    post_n = cfg.rpn_post_nms_top_n_test
+
+    def proposals_fn(cl, rg):
+        return jax.vmap(
+            lambda c, r: proposal_layer(c, r, anchors, (size, size), pre_n,
+                                        post_n, cfg.rpn_nms_thresh,
+                                        cfg.rpn_min_size))(cl, rg)
+
+    props = jax.jit(proposals_fn)(rpn_cls, rpn_reg)
+
+    # the NMS-alone stage gets the REAL top-6000 decoded boxes
+    def topk_boxes(cl, rg):
+        N = anchors.shape[0]
+        fg = jax.nn.softmax(cl.astype(jnp.float32), axis=-1)[..., 1]
+        def one(fg1, rg1):
+            scores = fg1.reshape(N)
+            boxes = box_ops.decode_boxes(anchors,
+                                         rg1.reshape(N, 4)
+                                         .astype(jnp.float32))
+            boxes = box_ops.clip_boxes(boxes, (size, size))
+            w = boxes[:, 2] - boxes[:, 0] + 1.0
+            h = boxes[:, 3] - boxes[:, 1] + 1.0
+            scores = jnp.where((w >= cfg.rpn_min_size)
+                               & (h >= cfg.rpn_min_size), scores, -1.0)
+            top_scores, top_idx = jax.lax.top_k(scores, min(pre_n, N))
+            return boxes[top_idx], top_scores
+        return jax.vmap(one)(fg, rg)
+
+    top_boxes, top_scores = jax.jit(topk_boxes)(rpn_cls, rpn_reg)
+
+    pooled = jax.jit(lambda f, r: roi_align_batched(
+        f.astype(jnp.float32), r, cfg.pooling_size, cfg.spatial_scale,
+        cfg.sampling_ratio, impl="auto"))(feats, props.rois)
+    R = props.rois.shape[1]
+    pooled_flat = pooled.reshape(batch * R, cfg.pooling_size,
+                                 cfg.pooling_size, -1)
+
+    tail = ResNetStage4(cfg.resnet_type, jnp.float32, None, norm=cfg.norm,
+                        style=cfg.resnet_style)
+    tail_vars = {"params": v["tail"],
+                 "batch_stats": bs["tail"]} if "tail" in bs else \
+                {"params": v["tail"]}
+
+    def tail_heads(p):
+        h = tail.apply(tail_vars, p, train=False).mean(axis=(1, 2))
+        cls = h @ v["cls_score"]["kernel"] + v["cls_score"]["bias"]
+        bb = h @ v["bbox_pred"]["kernel"] + v["bbox_pred"]["bias"]
+        return cls, bb
+
+    import functools as _ft
+
+    def loop(fn, feed, reduce_out):
+        @_ft.partial(jax.jit, static_argnums=(1,))
+        def l(x, n):
+            def body(i, x):
+                out = fn(x)
+                return x + 1e-9 * reduce_out(out)
+            return jax.lax.fori_loop(0, n, body, x)
+        return lambda n: np.asarray(
+            jax.tree_util.tree_leaves(l(feed, n))[0]).ravel()[0]
+
+    stages = [
+        ("base conv1-layer3", loop(
+            lambda im: base.apply(base_vars, im, train=False),
+            images, jnp.sum)),
+        ("rpn convs", loop(
+            lambda f: rpn_heads(f)[0], feats,
+            lambda o: jnp.sum(o))),
+        ("proposal layer (decode+topk+nms)", loop(
+            lambda t: proposals_fn(rpn_cls + 1e-12 * t[0, 0, 0, 0, 0],
+                                   rpn_reg).rois,
+            rpn_cls, jnp.sum)),
+        ("nms alone (real top-%d)" % pre_n, loop(
+            lambda tb: jax.vmap(lambda b2, s2: nms(
+                b2, s2, cfg.rpn_nms_thresh, post_n,
+                score_threshold=0.0)[0])(tb, top_scores),
+            top_boxes, jnp.sum)),
+        ("roi-align (%d rois)" % R, loop(
+            lambda f: roi_align_batched(
+                f.astype(jnp.float32), props.rois, cfg.pooling_size,
+                cfg.spatial_scale, cfg.sampling_ratio, impl="auto"),
+            feats, jnp.sum)),
+        ("stage4 tail+heads (%d rois)" % R, loop(
+            lambda p: tail_heads(p)[0], pooled_flat,
+            lambda o: jnp.sum(o))),
+        ("FULL detect()", loop(
+            lambda im: detect(model, variables, im, cfg).boxes,
+            images, jnp.sum)),
+    ]
+    print(f"detector breakdown: batch={batch} size={size} "
+          f"R{resnet_type} pre_nms={pre_n} post_nms={post_n}")
+    total = None
+    for name, timed in stages:
+        t = _diff_timed(timed, n_steps=10, reps=3)
+        print(f"{name:36s} {t * 1e3:8.2f} ms/batch{batch}")
+        if name.startswith("FULL"):
+            total = t
+    return total
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--train", action="store_true",
                    help="break down the train step instead of inference")
+    p.add_argument("--detector", action="store_true",
+                   help="break down the parity-scale two-stage detector")
+    p.add_argument("--detector-scale", type=int, default=600)
+    p.add_argument("--detector-resnet", type=int, default=101)
+    p.add_argument("--proposals", type=int, default=None)
     args = p.parse_args()
+    if args.detector:
+        detector_breakdown(4, args.detector_scale, args.detector_resnet,
+                           args.proposals)
+        return
     if args.train:
         train_breakdown(args.batch)
         return

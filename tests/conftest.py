@@ -26,6 +26,22 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite (VERDICT r4 #6): `pytest -q` runs the FAST tier —
+    everything except tests marked `slow` (trainer fits, mesh-equality
+    sweeps, quantized-pipeline compiles; marked from measured durations).
+    `HIPE_RUN_SLOW=1 pytest -q` runs all of it. The fast tier keeps at
+    least one smoke per subsystem so default runs still cross every
+    boundary."""
+    if os.environ.get("HIPE_RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier: set HIPE_RUN_SLOW=1 to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(20260816)

@@ -19,6 +19,10 @@ import os
 import re
 import sys
 
+# the repo root (pytest puts it on sys.path for in-process tests; this
+# worker is a bare subprocess)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main():
     port, pid, out_dir = sys.argv[1], int(sys.argv[2]), sys.argv[3]

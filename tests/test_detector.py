@@ -682,6 +682,7 @@ class TestEvaluateCLI:
         assert np.isfinite(np.asarray(
             json.load(open(res / "pred.json"))[0])).all()
 
+    @pytest.mark.slow
     def test_int8_two_stage(self, tmp_path):
         """--int8: both nets quantized through the pipeline (first-batch
         calibration) and the sweep still dumps a finite pred.json."""

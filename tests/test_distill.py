@@ -21,6 +21,7 @@ from hand_integral_pose_estimation_tpu.training.panet_trainer import (
     train_panet,
 )
 from hand_integral_pose_estimation_tpu.models.panet import PANet
+import pytest
 
 
 def _setup(rng, B=2):
@@ -217,6 +218,7 @@ class TestRotationModes:
             pass
 
 
+@pytest.mark.slow
 class TestTeacherDtype:
     """The teacher forward runs bfloat16 by default (ModelConfig.
     compute_dtype; --teacher-dtype overrides). The variance filter compares
@@ -286,6 +288,7 @@ class TestTeacherDtype:
                                    atol=2e-3)
 
 
+@pytest.mark.slow
 class TestTeacherInt8:
     """--teacher-dtype int8 (distill.quantized_teacher_apply): the int8
     teacher must not flip keep decisions vs the fp32 filter on the same
@@ -554,6 +557,7 @@ class TestCascade:
                                    rtol=1e-3, atol=1e-9)
 
 
+@pytest.mark.slow
 class TestMeshFilter:
     """`mesh=` on the teacher filter: the whole per-batch program (warps ->
     teacher -> back-projection -> variance) sharded over `data` must match

@@ -213,6 +213,7 @@ def _smooth_scene(rng, B, hw=224):
     return np.stack(imgs).astype(np.float32)
 
 
+@pytest.mark.slow
 def test_whole_pipeline_parity():
     rng = np.random.RandomState(20260818)
     B, J, patch = 4, 21, 224

@@ -39,6 +39,7 @@ def mini_cfg():
 
 
 @needs_fixture
+@pytest.mark.slow
 class TestMiniFixtureTraining:
     def test_load_training_split(self):
         ds = FreiHandDataset(FIXTURE, "training", mini_cfg())
@@ -125,6 +126,7 @@ class TestMiniFixtureTraining:
 
 
 @needs_fixture
+@pytest.mark.slow
 class TestMiniFixtureEvaluation:
     def test_load_evaluation_split(self):
         ds = FreiHandDataset(FIXTURE, "evaluation", mini_cfg())
@@ -154,6 +156,7 @@ class TestMiniFixtureEvaluation:
 
 
 @needs_fixture
+@pytest.mark.slow
 class TestMiniFixtureTorchInterop:
     """The parity-run entry points with torch checkpoints on real-format
     files: --imagenet-init for the training CLI and a reference-layout

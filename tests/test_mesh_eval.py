@@ -29,6 +29,8 @@ from hand_integral_pose_estimation_tpu.training import (
     Trainer,
 )
 
+pytestmark = pytest.mark.slow  # fast tier: HIPE_RUN_SLOW=1 runs these
+
 
 def small_config():
     return Config(

@@ -80,6 +80,7 @@ class TestPoseNet:
         b = vars_["params"]["head"]["final"]["bias"]
         np.testing.assert_allclose(b, 0.0)
 
+    @pytest.mark.slow
     def test_gradients_flow_end_to_end(self):
         cfg = tiny_cfg()
         net = get_pose_net(cfg)
@@ -106,6 +107,7 @@ class TestPoseNet:
         y = head.apply(vars_, x)
         assert y.shape == (1, 32, 32, 16)
 
+    @pytest.mark.slow
     def test_phase_deconv_matches_conv_transpose(self, rng):
         """The TPU-fast dense phase-conv lowering is numerically identical
         to nn.ConvTranspose from the SAME parameters (checkpoints are

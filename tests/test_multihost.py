@@ -23,6 +23,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # fast tier: HIPE_RUN_SLOW=1 runs these
+
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _WORKER = os.path.join(_HERE, "multihost_worker.py")
 

@@ -91,6 +91,7 @@ class TestDecode:
             assert out.shape == (1, 224, 224, 3)
 
 
+@pytest.mark.slow
 class TestTrainerPrefetch:
     def test_each_batch_decoded_once(self, jpeg_files):
         """Default-on native prefetch: warm-up submits this batch and

@@ -110,6 +110,7 @@ class TestPANetForward:
             camera @ np.swapaxes(camera, -1, -2),
             np.broadcast_to(np.eye(3), (4, 3, 3)), atol=1e-5)
 
+    @pytest.mark.slow
     def test_loss_and_grads(self, rng):
         model = PANet(pts_num=21, dict_sizes=(32, 16, 8))
         pts = jnp.asarray(rng.randn(8, 21, 3).astype(np.float32) * 0.05)
@@ -152,6 +153,7 @@ class TestBlockSoftThreshold:
         assert np.isfinite(np.asarray(out)).all()
         np.testing.assert_array_equal(np.asarray(out), 0.0)
 
+    @pytest.mark.slow
     def test_encode_with_relu_knob(self, rng):
         """encode_with_relu=False routes the encoder through the soft
         threshold: forward differs from the relu variant, grads stay
@@ -225,6 +227,7 @@ class TestRotationAugmentation:
 
 
 class TestCompositePANet:
+    @pytest.mark.slow
     def test_worst_decile_loss_drops(self, rng):
         """Hard-example boosting (train_kernel.py:440-488): after adding
         components trained on the worst decile, the composite loss on those

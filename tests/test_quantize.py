@@ -162,6 +162,7 @@ def posenet_ptq(trained_small_posenet):
     return cfg, net, variables, imgs, q, hm_fp, hm_q
 
 
+@pytest.mark.slow
 class TestPoseNetPTQ:
     def test_calibration_covers_every_conv(self, posenet_ptq):
         cfg, net, variables, imgs, q, _, _ = posenet_ptq
@@ -240,6 +241,7 @@ class TestRootFilter:
         assert np.abs(solo_a - solo_b).max() > 1e-3
 
 
+@pytest.mark.slow
 class TestDetectorPTQ:
     def test_detector_int8_forward(self, rng):
         cfg = DetectorConfig(
@@ -263,6 +265,7 @@ class TestDetectorPTQ:
             np.asarray(out_q.cls_scores.sum(-1)), 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 class TestPipelineInt8:
     """First-class int8 serving: `TwoStagePipeline(int8_calib=...)`.
 
