@@ -110,17 +110,74 @@ def train_breakdown(batch):
             return st, imgs + 1e-9 * metrics["loss"]
         return jax.lax.fori_loop(0, n, body, (state, images))
 
-    for name, run in [
+    # isolate the fused-head bwd: VJP of the projection+integral decode
+    # given fixed backbone features (its closed-form custom VJP,
+    # ops/integral.py)
+    feats0 = jax.jit(lambda b: net.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        b.image, train=True, return_features=True,
+        mutable=["batch_stats"])[0])(batch0)
+    Wp0, bp0 = net.final_projection(state.params)
+
+    def head_loss(feats, Wp, bp):
+        coords = head_projection_integral(
+            feats, Wp, bp, cfg.model.num_joints, cfg.model.depth_dim)
+        return jnp.sum(jnp.abs(coords - 10.0))
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def head_bwd_loop(feats0, n):
+        def body(i, s):
+            g_f, g_w, g_b = jax.grad(head_loss, argnums=(0, 1, 2))(
+                feats0 + s, Wp0, bp0)
+            return 1e-9 * (jnp.sum(g_f) + jnp.sum(g_w) + jnp.sum(g_b))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    # FLOP-based MFU (VERDICT r4 #8): XLA's own cost model for the compiled
+    # single-step programs; peak = v5e bf16 MXU (the conv stack runs
+    # ModelConfig.compute_dtype = bfloat16)
+    def flops_of(fn, *args):
+        try:
+            c = jax.jit(fn).lower(*args).compile()
+            a = c.cost_analysis()
+            a = a[0] if isinstance(a, (list, tuple)) else a
+            return float(a["flops"])
+        except Exception:
+            return float("nan")
+
+    f_fwd = flops_of(fwd_loss, state.params, state.batch_stats, batch0)
+    f_grad = flops_of(
+        lambda p, bs, b: jax.grad(fwd_loss)(p, bs, b),
+        state.params, state.batch_stats, batch0)
+    f_step = flops_of(lambda st, im: step_loop(st, im, 1), state, images)
+    PEAK = 197e12          # v5e bf16 MXU peak
+
+    rows = []
+    for name, run, fl in [
         ("train preprocess", lambda n: np.asarray(
-            pre_loop(images, n)[0, 0, 0])),
-        ("fwd+loss only", lambda n: np.asarray(fwd_loop(images, n))),
-        ("fwd+bwd (grad)", lambda n: np.asarray(grad_loop(images, n))),
+            pre_loop(images, n)[0, 0, 0]), None),
+        ("fwd+loss only", lambda n: np.asarray(fwd_loop(images, n)), f_fwd),
+        ("fwd+bwd (grad)", lambda n: np.asarray(grad_loop(images, n)),
+         f_grad),
+        ("fused-head bwd only", lambda n: np.asarray(
+            head_bwd_loop(feats0, n)), None),
         ("full step (pre+grad+adam)", lambda n: np.asarray(
-            step_loop(state, images, n)[1][0, 0, 0])),
+            step_loop(state, images, n)[1][0, 0, 0]), f_step),
     ]:
         t = _diff_timed(run, n_steps=10)
+        mfu = "" if fl is None or np.isnan(fl) else \
+            f"  {fl / 1e9:8.1f} GFLOP  MFU {fl / t / PEAK * 100:5.1f}%"
         print(f"{name:28s} {t * 1e3:7.3f} ms/batch{B}"
-              f"  {B / t:9.1f} img/s")
+              f"  {B / t:9.1f} img/s{mfu}")
+        rows.append((name, t, fl))
+    # bwd-only derivation (grad minus fwd), the dgrad+wgrad residual
+    tf = dict((n, t) for n, t, _ in rows)
+    ff = dict((n, f) for n, t, f in rows)
+    t_bwd = tf["fwd+bwd (grad)"] - tf["fwd+loss only"]
+    if not (np.isnan(ff["fwd+bwd (grad)"]) or np.isnan(ff["fwd+loss only"])):
+        f_bwd = ff["fwd+bwd (grad)"] - ff["fwd+loss only"]
+        print(f"{'bwd only (derived)':28s} {t_bwd * 1e3:7.3f} ms/batch{B}"
+              f"  {'':9s}   {f_bwd / 1e9:8.1f} GFLOP"
+              f"  MFU {f_bwd / t_bwd / PEAK * 100:5.1f}%")
 
 
 def detector_breakdown(batch=4, size=600, resnet_type=101, proposals=None):
