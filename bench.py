@@ -226,7 +226,7 @@ def _detector_images(batch, size):
 
 
 def measure_detector(batch=4, size=600, resnet_type=101, proposals=None,
-                     native=False, int8=False):
+                     native=False, int8=False, dtype=None):
     """Config #4: the full two-stage detection call (blob -> R101-C4 ->
     RPN -> NMS proposals -> ROIAlign -> head -> decode -> class NMS).
 
@@ -254,6 +254,8 @@ def measure_detector(batch=4, size=600, resnet_type=101, proposals=None,
             rpn_post_nms_top_n_test=proposals)
         cfg = DetectorConfig(resnet_type=resnet_type, test_scale=size,
                              test_max_size=size, **kw)
+    if dtype is not None:
+        cfg = dataclasses.replace(cfg, compute_dtype=dtype)
     model = FasterRCNN(cfg=cfg)
     images = _detector_images(batch, size)
     variables = model.init(
@@ -1002,6 +1004,11 @@ def _parse_args(argv=None):
     p.add_argument("--detector-resnet", type=int, default=None,
                    help="configs 4/6: detector backbone depth override "
                    "(default 101 = reference parity)")
+    p.add_argument("--detector-dtype", default=None,
+                   choices=("float32", "bfloat16"),
+                   help="config 4: detector conv-stack compute dtype "
+                   "(DetectorConfig.compute_dtype; decode/NMS/softmax "
+                   "always run float32)")
     p.add_argument("--monolith", action="store_true",
                    help="config 6: measure the actual single-XLA-program "
                    "TwoStagePipeline instead of the two-program bound "
@@ -1059,7 +1066,7 @@ def _run_raw_config(c, args):
             batch=args.serving_batch, size=size,
             resnet_type=args.detector_resnet or 101,
             proposals=args.proposals, native=args.detector_scale is not None,
-            int8=args.int8)
+            int8=args.int8, dtype=args.detector_dtype)
         out = {
             "metric": "detector_two_stage_images_per_sec_per_chip",
             "value": round(ips, 1), "unit": "images/sec/chip",
@@ -1072,6 +1079,8 @@ def _run_raw_config(c, args):
             out["detector_scale"] = args.detector_scale
         if args.detector_resnet is not None:
             out["detector_resnet"] = args.detector_resnet
+        if args.detector_dtype is not None:
+            out["detector_dtype"] = args.detector_dtype
         print(json.dumps(out))
     elif c == 5:
         if args.teacher_cascade is not None:
@@ -1270,6 +1279,8 @@ def _measure_in_subprocess(c, args):
         cmd += ["--detector-scale", str(args.detector_scale)]
     if args.detector_resnet is not None:
         cmd += ["--detector-resnet", str(args.detector_resnet)]
+    if args.detector_dtype is not None:
+        cmd += ["--detector-dtype", args.detector_dtype]
     if args.monolith:
         cmd += ["--monolith"]
     if args.int8:
@@ -1319,6 +1330,7 @@ def _is_default_shape(args):
             and args.teacher_cascade is None
             and args.detector_scale is None
             and args.detector_resnet is None
+            and args.detector_dtype is None
             and not args.monolith
             and not args.int8
             and args.serving_batch == 4

@@ -125,6 +125,11 @@ class DetectorConfig:
     #: 1x1 conv and use a ceil-mode stem pool (faster_rcnn/resnet.py:67-80,
     #: 115); its shipped faster_rcnn_*.pth weights require "caffe".
     resnet_style: str = "torchvision"
+    #: compute dtype of the conv stacks (params stay float32; the proposal
+    #: decode, NMS and score softmax always run float32). "float32" is
+    #: reference parity; "bfloat16" halves MXU work and layout bytes —
+    #: measured end-to-end in PERFORMANCE.md round 5
+    compute_dtype: str = "float32"
     anchor_scales: Tuple[int, ...] = (4, 8, 16, 32)   # hand_detector.py:120
     anchor_ratios: Tuple[float, float, float] = (0.5, 1.0, 2.0)
     feat_stride: int = 16

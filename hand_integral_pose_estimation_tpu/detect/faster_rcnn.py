@@ -56,7 +56,9 @@ class DetectionOutputs(NamedTuple):
 
 class FasterRCNN(nn.Module):
     cfg: DetectorConfig = DetectorConfig()
-    dtype: Any = jnp.float32
+    #: compute dtype override; None defers to cfg.compute_dtype (params are
+    #: float32 either way — box decode/NMS/softmax always run float32)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False,
@@ -66,6 +68,8 @@ class FasterRCNN(nn.Module):
         """images: (B, H, W, 3) BGR blobs, pixel-means subtracted
         (blob.py:20-49). gt_* required when train=True."""
         c = self.cfg
+        dtype = (jnp.dtype(c.compute_dtype) if self.dtype is None
+                 else self.dtype)
         B, H, W = images.shape[0], images.shape[1], images.shape[2]
         num_classes = len(c.classes)
         A = len(c.anchor_scales) * len(c.anchor_ratios)
@@ -73,18 +77,18 @@ class FasterRCNN(nn.Module):
         # BN mode: frozen (inference stats) in the reference's fine-tuning
         # setup; live when training from scratch (cfg.freeze_bn=False)
         bn_train = train and not c.freeze_bn
-        base = ResNetBackbone(c.resnet_type, self.dtype, None,
+        base = ResNetBackbone(c.resnet_type, dtype, None,
                               num_stages=3, norm=c.norm,
                               style=c.resnet_style, name="base")
-        feats = base(images.astype(self.dtype), train=bn_train)
+        feats = base(images.astype(dtype), train=bn_train)
         fh, fw = feats.shape[1], feats.shape[2]
 
         # RPN is convolutional: run batched directly (rpn.py:31-56)
         rpn_trunk = nn.relu(nn.Conv(512, (3, 3), padding=1,
-                                    dtype=self.dtype, name="rpn_conv")(feats))
-        rpn_cls = nn.Conv(2 * A, (1, 1), dtype=self.dtype,
+                                    dtype=dtype, name="rpn_conv")(feats))
+        rpn_cls = nn.Conv(2 * A, (1, 1), dtype=dtype,
                           name="rpn_cls")(rpn_trunk).reshape(B, fh, fw, A, 2)
-        rpn_reg = nn.Conv(4 * A, (1, 1), dtype=self.dtype,
+        rpn_reg = nn.Conv(4 * A, (1, 1), dtype=dtype,
                           name="rpn_bbox")(rpn_trunk).reshape(B, fh, fw, A, 4)
 
         anchors = box_ops.grid_anchors(
@@ -132,13 +136,13 @@ class FasterRCNN(nn.Module):
         R = rois.shape[1]
         pooled = pooled.reshape(B * R, c.pooling_size, c.pooling_size, -1)
 
-        tail = ResNetStage4(c.resnet_type, self.dtype, None, norm=c.norm,
+        tail = ResNetStage4(c.resnet_type, dtype, None, norm=c.norm,
                             style=c.resnet_style, name="tail")
         h = tail(pooled, train=bn_train).mean(axis=(1, 2))  # (B*R, 2048)
 
-        cls_logits = nn.Dense(num_classes, dtype=self.dtype,
+        cls_logits = nn.Dense(num_classes, dtype=dtype,
                               name="cls_score")(h).reshape(B, R, num_classes)
-        bbox_pred = nn.Dense(4 * num_classes, dtype=self.dtype,
+        bbox_pred = nn.Dense(4 * num_classes, dtype=dtype,
                              name="bbox_pred")(h).reshape(B, R,
                                                           4 * num_classes)
 
