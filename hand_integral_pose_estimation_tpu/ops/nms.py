@@ -48,7 +48,7 @@ def box_iou(a: jnp.ndarray, b: jnp.ndarray, plus_one: bool = True
 def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
         top_k: int, score_threshold: float = -jnp.inf,
         plus_one: bool = True, impl: str = "auto",
-        interpret: bool = False
+        interpret: bool = False, early_exit: bool = False
         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Greedy NMS with a fixed-size output.
 
@@ -65,6 +65,17 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
             (one fused kernel, ops-level redesign of the reference's
             nms.cu bitmask tiling; kept as the measured negative), or
             "auto" (= xla).
+        early_exit: stop the tile sweep once `top_k` survivors are
+            finalized (xla impl only). EXACT: greedy survivors arrive
+            in descending score order, so later tiles can only append
+            survivors ranked past top_k — the fixed-size output is
+            bitwise identical (tests/test_detector.py gates this).
+            At the parity scale (6000 dense proposals -> 300 slots)
+            the sweep finishes in 1-2 of 12 tiles, but the measured
+            full-detector effect is a WASH on TPU (17.56 vs 17.24
+            ms/batch-4: the while_loop's serialized dispatch cancels
+            the skipped tiles — PERFORMANCE.md round 5), so the
+            default stays off and the parity program unchanged.
 
     Returns:
         (boxes (top_k, 4), scores (top_k,), valid (top_k,) bool) in
@@ -82,17 +93,23 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
         alive = _make_alive_pallas(float(iou_threshold), plus_one,
                                    interpret)(b, alive0)
         return _compact(b, s, alive, top_k)
-    alive = _alive_xla(b, s, alive0, iou_threshold, plus_one)
+    alive = _alive_xla(b, s, alive0, iou_threshold, plus_one,
+                       stop_after=top_k if early_exit else None)
     return _compact(b, s, alive, top_k)
 
 
-def _alive_xla(b, s, alive0, iou_threshold, plus_one):
+def _alive_xla(b, s, alive0, iou_threshold, plus_one, stop_after=None):
     """Tiled sweep (the TPU-standard exact-greedy formulation): process
     boxes in score order in tiles of T; each tile is first suppressed by
     the already-final earlier boxes via a (T, N) IoU strip, then resolved
     internally by fixpoint self-suppression (the map
     F(a)[i] = cand[i] & !exists j<i: a[j] & iou[j,i] > t has the greedy
-    solution as its unique fixpoint). Peak memory O(T*N), not O(N^2)."""
+    solution as its unique fixpoint). Peak memory O(T*N), not O(N^2).
+
+    `stop_after=K` short-circuits the sweep once K survivors are
+    finalized; rows of never-processed tiles are reported dead, which
+    leaves the first-K-survivors prefix (all any caller consumes)
+    unchanged."""
     N = b.shape[0]
     T = int(min(512, N))
     pad = (-N) % T
@@ -133,7 +150,26 @@ def _alive_xla(b, s, alive0, iou_threshold, plus_one):
         alive = jax.lax.dynamic_update_slice(alive, a_final, (start,))
         return alive, None
 
-    alive, _ = jax.lax.scan(tile_step, alive0, jnp.arange(num_tiles))
+    if stop_after is None:
+        alive, _ = jax.lax.scan(tile_step, alive0, jnp.arange(num_tiles))
+        return alive[:N]
+
+    def ee_cond(state):
+        _, t, kept = state
+        return (t < num_tiles) & (kept < stop_after)
+
+    def ee_body(state):
+        alive, t, _ = state
+        alive, _ = tile_step(alive, t)
+        kept = jnp.sum(alive & (idx_all < (t + 1) * T)).astype(t.dtype)
+        return alive, t + 1, kept
+
+    zero = jnp.zeros((), idx_all.dtype)  # platform default int (x64-safe)
+    alive, t_end, _ = jax.lax.while_loop(
+        ee_cond, ee_body, (alive0, zero, zero))
+    # never-processed rows are unfinalized candidates, not survivors; the
+    # finalized prefix already holds >= stop_after survivors ahead of them
+    alive = alive & (idx_all < t_end * T)
     return alive[:N]
 
 

@@ -124,9 +124,38 @@ def main(batch=4, size=600, resnet_type=101):
     @functools.partial(jax.jit, static_argnums=(1,))
     def down_loop(feats, n):
         def body(i, f):
-            b, s = downstream(f, rois0, valid0)
+            # rois must depend on the carry: loop-INVARIANT rois let XLA
+            # hoist the ROIAlign weight construction out of the fori_loop
+            # and undercount the stage (first probe run had this artifact)
+            r = rois0 + 1e-7 * jnp.max(f[:, :1, :1, :1])
+            b, s = downstream(f, r, valid0)
             return f + 1e-9 * (jnp.sum(b) + jnp.sum(s))
         return jax.lax.fori_loop(0, n, body, feats)
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def updown_loop(images, n):
+        """upstream -> downstream composed in ONE jit body: FULL minus the
+        blob facade (BGR flip + mean subtract). Separates half-fusion
+        overhead from facade overhead."""
+        def body(i, im):
+            feats, rois, valid = upstream(im)
+            b, s = downstream(feats, rois, valid)
+            return im + 1e-9 * (jnp.sum(b) + jnp.sum(s))
+        return jax.lax.fori_loop(0, n, body, images)
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def updown_barrier_loop(images, n):
+        """Same one-jit composition with an optimization_barrier between
+        the halves: if the FULL-vs-halves gap is XLA fusing/scheduling
+        across the proposal boundary, the barrier should recover the
+        two-program time inside one program."""
+        def body(i, im):
+            feats, rois, valid = upstream(im)
+            feats, rois, valid = jax.lax.optimization_barrier(
+                (feats, rois, valid))
+            b, s = downstream(feats, rois, valid)
+            return im + 1e-9 * (jnp.sum(b) + jnp.sum(s))
+        return jax.lax.fori_loop(0, n, body, images)
 
     @functools.partial(jax.jit, static_argnums=(1,))
     def full_loop(images, n):
@@ -140,6 +169,10 @@ def main(batch=4, size=600, resnet_type=101):
             up_loop(images, n)[0, 0, 0])),
         ("downstream composed (roi+tail+cnms)", lambda n: np.asarray(
             down_loop(feats0, n)[0, 0, 0])),
+        ("up+down one jit (no facade)", lambda n: np.asarray(
+            updown_loop(images, n)[0, 0, 0])),
+        ("up+down one jit + barrier", lambda n: np.asarray(
+            updown_barrier_loop(images, n)[0, 0, 0])),
         ("FULL detect()", lambda n: np.asarray(
             full_loop(images, n)[0, 0, 0])),
     ]:

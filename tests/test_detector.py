@@ -159,6 +159,25 @@ class TestNMS:
         np.testing.assert_allclose(np.asarray(got_b)[:nk], boxes[keep][:nk],
                                    atol=1e-9)
 
+    def test_early_exit_matches_full_sweep(self, rng):
+        """early_exit short-circuits the tile sweep once top_k survivors
+        are finalized (ops/nms.py:_alive_xla stop_after). Output must be
+        bitwise identical to the full sweep: at top_k=8/64 the sweep stops
+        after tile 1 of 3; top_k=2000 > N runs every tile AND exercises
+        the _compact pad path under the while_loop variant."""
+        n = 1400
+        ctr = rng.rand(n, 2) * 560 + 40
+        wh = rng.rand(n, 2) * 70 + 10
+        boxes = np.concatenate([ctr - wh / 2, ctr + wh / 2], axis=1)
+        scores = rng.rand(n).astype(np.float32)
+        for top_k in (8, 64, 300, 2000):
+            full = nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5,
+                       top_k, early_exit=False)
+            fast = nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5,
+                       top_k, early_exit=True)
+            for a, b in zip(full, fast):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_alternating_suppression_chain(self):
         """A line of boxes where each overlaps only its neighbours: greedy
         keeps alternating members — the case where the within-tile fixpoint
