@@ -41,7 +41,8 @@ def study_config(hw, resnet_type: int = 18) -> DetectorConfig:
 def run_study(train_n: int = 128, val_n: int = 32, hw=(224, 224),
               steps: int = 600, batch: int = 8, eval_every: int = 100,
               lr: float = 2e-3, resnet_type: int = 18, seed: int = 0,
-              flip: bool = True, proposal_sweep=(), log=print) -> dict:
+              flip: bool = True, proposal_sweep=(), dtype_sweep=(),
+              log=print) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -120,6 +121,32 @@ def run_study(train_n: int = 128, val_n: int = 32, hw=(224, 224),
             log(json.dumps(rec))
     result = {"history": history, "final_ap": history[-1]["ap"],
               "best_ap": max(h["ap"] for h in history), "state": state}
+
+    def sweep_ap(vcfg):
+        # same checkpoint, test-time config variant only
+        vdet = jax.jit(lambda v, imgs, m=FasterRCNN(cfg=vcfg), c=vcfg:
+                       detect(m, v, imgs, c))
+        dets = vdet({"params": state.params,
+                     "batch_stats": state.batch_stats}, val_images)
+        boxes, scores, valid = (np.asarray(dets.boxes),
+                                np.asarray(dets.scores),
+                                np.asarray(dets.valid))
+        db = [boxes[i][valid[i]] for i in range(val_n)]
+        ds = [scores[i][valid[i]] for i in range(val_n)]
+        return round(
+            float(evaluate_detections(db, ds, val.gt_boxes)["ap"]), 4)
+
+    if dtype_sweep:
+        # same checkpoint, varying ONLY the inference compute dtype — the
+        # accuracy evidence for the bf16 serving knob (parity 600²/R101
+        # measured 17.24 -> 14.77 ms/batch-4, PERFORMANCE.md round 5);
+        # box decode / NMS / score softmax stay f32 regardless
+        import dataclasses as _dc
+        dsweep = {}
+        for dt in dtype_sweep:
+            dsweep[dt] = sweep_ap(_dc.replace(cfg, compute_dtype=dt))
+            log(json.dumps({"dtype_sweep": dt, "ap": dsweep[dt]}))
+        result["dtype_sweep"] = dsweep
     if proposal_sweep:
         # same checkpoint, varying ONLY the test-time post-NMS proposal
         # count — direct evidence for the serving knob (PERFORMANCE.md
@@ -128,18 +155,8 @@ def run_study(train_n: int = 128, val_n: int = 32, hw=(224, 224),
         import dataclasses as _dc
         sweep = {}
         for n_prop in proposal_sweep:
-            vcfg = _dc.replace(cfg, rpn_post_nms_top_n_test=n_prop)
-            vdet = jax.jit(lambda v, imgs, m=FasterRCNN(cfg=vcfg), c=vcfg:
-                           detect(m, v, imgs, c))
-            dets = vdet({"params": state.params,
-                         "batch_stats": state.batch_stats}, val_images)
-            boxes, scores, valid = (np.asarray(dets.boxes),
-                                    np.asarray(dets.scores),
-                                    np.asarray(dets.valid))
-            db = [boxes[i][valid[i]] for i in range(val_n)]
-            ds = [scores[i][valid[i]] for i in range(val_n)]
-            sweep[n_prop] = round(
-                float(evaluate_detections(db, ds, val.gt_boxes)["ap"]), 4)
+            sweep[n_prop] = sweep_ap(
+                _dc.replace(cfg, rpn_post_nms_top_n_test=n_prop))
             log(json.dumps({"proposal_sweep": n_prop, "ap": sweep[n_prop]}))
         result["proposal_sweep"] = sweep
     return result
@@ -161,6 +178,10 @@ def main(argv=None):
                    help="after training, re-evaluate AP of the SAME "
                         "checkpoint at these post-NMS proposal counts "
                         "(serving-knob quality evidence)")
+    p.add_argument("--dtype-sweep", nargs="*", default=(),
+                   help="after training, re-evaluate AP of the SAME "
+                        "checkpoint at these inference compute dtypes "
+                        "(bf16 serving-knob quality evidence)")
     args = p.parse_args(argv)
 
     result = run_study(train_n=args.train_n, val_n=args.val_n,
@@ -168,10 +189,12 @@ def main(argv=None):
                        batch=args.batch, eval_every=args.eval_every,
                        lr=args.lr, resnet_type=args.resnet, seed=args.seed,
                        flip=not args.no_flip,
-                       proposal_sweep=tuple(args.proposal_sweep))
+                       proposal_sweep=tuple(args.proposal_sweep),
+                       dtype_sweep=tuple(args.dtype_sweep))
     out = {"final_ap": result["final_ap"], "best_ap": result["best_ap"]}
-    if "proposal_sweep" in result:
-        out["proposal_sweep"] = result["proposal_sweep"]
+    for k in ("proposal_sweep", "dtype_sweep"):
+        if k in result:
+            out[k] = result[k]
     print(json.dumps(out))
 
 

@@ -107,7 +107,8 @@ def test_mini_convergence_ap_rises():
         run_study,
     )
     r = run_study(train_n=24, val_n=8, hw=(112, 112), steps=60, batch=4,
-                  eval_every=20, seed=0, proposal_sweep=(64, 16))
+                  eval_every=20, seed=0, proposal_sweep=(64, 16),
+                  dtype_sweep=("float32", "bfloat16"))
     aps = [h["ap"] for h in r["history"]]
     assert r["best_ap"] > aps[0] or aps[0] > 0.3
     assert r["best_ap"] > 0.05
@@ -116,3 +117,8 @@ def test_mini_convergence_ap_rises():
     # so it must agree with the final history AP
     assert set(r["proposal_sweep"]) == {64, 16}
     assert r["proposal_sweep"][64] == r["final_ap"]
+    # bf16 serving knob: same checkpoint, conv stack in bf16 (decode/NMS/
+    # softmax stay f32) — AP must match the f32 sweep arm closely
+    assert r["dtype_sweep"]["float32"] == r["final_ap"]
+    assert abs(r["dtype_sweep"]["bfloat16"]
+               - r["dtype_sweep"]["float32"]) <= 0.05
