@@ -168,7 +168,8 @@ class DetectorConfig:
     roi_bg_thresh_hi: float = 0.5
     roi_bg_thresh_lo: float = 0.1
 
-    def serving(self, proposals: int = 64) -> "DetectorConfig":
+    def serving(self, proposals: int = 64,
+                dtype: str | None = None) -> "DetectorConfig":
         """The measured single-hand serving setting: the defaults keep the
         reference's 300 post-NMS proposals (TEST.RPN_POST_NMS_TOP_N,
         config_rcnn.py) for parity, but for single-hand scenes the RoI tail
@@ -176,8 +177,16 @@ class DetectorConfig:
         confidently-detected hand and measures 13.6 vs 19.0 ms/batch-4
         (detect) and 313 vs 222 img/s (two-stage serving bound) on v5e;
         the convergence study's AP 0.98 evaluation also runs at 64
-        (PERFORMANCE.md "Proposal-count serving knob")."""
-        return dataclasses.replace(self, rpn_post_nms_top_n_test=proposals)
+        (PERFORMANCE.md "Proposal-count serving knob").
+
+        `dtype="bfloat16"` additionally switches the conv stacks to bf16
+        (box math stays f32): 17.24 -> 14.77 ms/batch-4 at the 600²/R101
+        parity scale, AP-gated per checkpoint via
+        `cli/detector_convergence.py --dtype-sweep` (PERFORMANCE.md
+        round-5 detector attack). None keeps the parity float32."""
+        return dataclasses.replace(
+            self, rpn_post_nms_top_n_test=proposals,
+            **({"compute_dtype": dtype} if dtype is not None else {}))
 
     @classmethod
     def native(cls, size: int = 224, resnet_type: int = 18,

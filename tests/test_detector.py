@@ -409,6 +409,12 @@ class TestFasterRCNN:
         assert scfg.rpn_post_nms_top_n_test == 8
         assert scfg.rpn_post_nms_top_n_train == cfg.rpn_post_nms_top_n_train
         assert DetectorConfig().serving().rpn_post_nms_top_n_test == 64
+        # dtype knob: default leaves the parity f32; "bfloat16" switches
+        # only the conv-stack compute dtype (PERFORMANCE.md round 5)
+        assert DetectorConfig().serving().compute_dtype == "float32"
+        bcfg = cfg.serving(8, dtype="bfloat16")
+        assert (bcfg.compute_dtype, bcfg.rpn_post_nms_top_n_test) == \
+            ("bfloat16", 8)
         img = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32) * 255)
         out = FasterRCNN(cfg=scfg).apply(variables, img, train=False)
         assert out.rois.shape == (1, 8, 4)
