@@ -290,6 +290,76 @@ def measure_detector(batch=4, size=600, resnet_type=101, proposals=None,
     return batch / per_call, per_call * 1e3
 
 
+def measure_detector_split(batch=4, size=600, resnet_type=101,
+                           proposals=None, native=False, dtype=None):
+    """Config #4 --split: the two-dispatch detector (`detect_split`).
+
+    The round-5 glue probe showed XLA loses ~29 % compiling the detector's
+    two halves into one program (PERFORMANCE.md round-5 detector section);
+    serving them as two back-to-back programs recovers it. A `fori_loop`
+    cannot chain two PROGRAMS, so this is chained wall-clock: iteration k
+    dispatches upstream then downstream (data-dependent through the image
+    carry, carry tapped with full reductions), timed at two chain lengths
+    and differenced — warmup and fixed RPC latency cancel as in
+    `_diff_timed`, but per-dispatch client overhead (sub-ms on a PCIe
+    host, more through the dev tunnel) stays IN: the result is an upper
+    bound on the two-program device time."""
+    import dataclasses
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from hand_integral_pose_estimation_tpu.config import DetectorConfig
+    from hand_integral_pose_estimation_tpu.detect.faster_rcnn import (
+        FasterRCNN,
+    )
+    from hand_integral_pose_estimation_tpu.detect.hand_detector import (
+        _blob_scale, _postprocess, prepare_blob,
+    )
+
+    if native:
+        cfg = DetectorConfig.native(size, resnet_type)
+        if proposals is not None:
+            cfg = dataclasses.replace(cfg, rpn_post_nms_top_n_test=proposals)
+    else:
+        kw = {} if proposals is None else dict(
+            rpn_post_nms_top_n_test=proposals)
+        cfg = DetectorConfig(resnet_type=resnet_type, test_scale=size,
+                             test_max_size=size, **kw)
+    if dtype is not None:
+        cfg = dataclasses.replace(cfg, compute_dtype=dtype)
+    model = FasterRCNN(cfg=cfg)
+    images = _detector_images(batch, size)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        jnp.zeros((1, size, size, 3)))
+
+    scale = _blob_scale((size, size), cfg.test_scale, cfg.test_max_size)
+    blob_hw = (int(round(size * scale)), int(round(size * scale)))
+
+    @jax.jit
+    def up(variables, im):
+        blob, _ = prepare_blob(im, cfg)
+        return model.apply(variables, blob, method="upstream")
+
+    @jax.jit
+    def down(variables, im, feats, rois, valid):
+        out = model.apply(variables, feats, rois, valid,
+                          method="downstream")
+        det = _postprocess(out, cfg, blob_hw, scale)
+        return im + 1e-9 * (jnp.sum(det.boxes) + jnp.sum(det.scores))
+
+    def chain(k):
+        im = images
+        for _ in range(k):
+            feats, rois, valid = up(variables, im)
+            im = down(variables, im, feats, rois, valid)
+        return np.asarray(im[0, 0, 0])
+
+    per_pair = _diff_timed(chain, n_steps=10, reps=3)
+    return batch / per_pair, per_pair * 1e3
+
+
 def _teacher_setup(batch, dtype=None):
     """Shared config-5 fixture: frozen R50 teacher (fused projection head)
     + realistic 480-px images with per-row jittered crop boxes (identical
@@ -668,7 +738,7 @@ def measure_loader(n_images=2048, size=224, threads=(1, 2, 4, 8, 16),
 
 def measure_sustained(n_images=1024, batch=32, detector_scale=None,
                       detector_resnet=None, proposals=None, int8=False,
-                      loader_threads=None, max_inflight=3):
+                      loader_threads=None, max_inflight=3, split=False):
     """Config #7: the LITERAL north-star path, sustained wall-clock —
     JPEG files on disk -> native C++ decode (double-buffered) -> H2D ->
     detector -> crop -> pose -> camera back-projection -> batched
@@ -792,6 +862,19 @@ def measure_sustained(n_images=1024, batch=32, detector_scale=None,
         with qctx():
             return detect_hand_crop_bbox(det, det_vars, imgs, cfg.detector,
                                          pad_factor=cfg.augment.pad_factor)
+
+    if split:
+        # two-dispatch detector (detect_split): recovers the one-program
+        # composition loss at parity scale; the extra dispatch rides the
+        # same async queue as everything else
+        assert not int8, "--split does not compose with --int8"
+
+        def detect_prog(det_vars, images_u8):              # noqa: F811
+            # uint8 goes straight in: prepare_blob casts inside program 1
+            # (no eager host-side cast dispatch)
+            return detect_hand_crop_bbox(
+                det, det_vars, images_u8, cfg.detector,
+                pad_factor=cfg.augment.pad_factor, split=True)
 
     @jax.jit
     def pose_prog(pose_vars, images_u8, bbox):
@@ -1009,6 +1092,13 @@ def _parse_args(argv=None):
                    help="config 4: detector conv-stack compute dtype "
                    "(DetectorConfig.compute_dtype; decode/NMS/softmax "
                    "always run float32)")
+    p.add_argument("--split", action="store_true",
+                   help="configs 4/7: dispatch the detector as TWO programs "
+                   "(detect_split: upstream base+RPN+proposals, downstream "
+                   "ROIAlign+tail+NMS) — recovers the ~29 %% one-program "
+                   "composition loss (PERFORMANCE.md round-5 detector "
+                   "section); chained wall-clock, upper bound on device "
+                   "time")
     p.add_argument("--monolith", action="store_true",
                    help="config 6: measure the actual single-XLA-program "
                    "TwoStagePipeline instead of the two-program bound "
@@ -1062,15 +1152,27 @@ def _run_raw_config(c, args):
             "batch": args.batch}))
     elif c == 4:
         size = args.detector_scale or 600
-        ips, ms = measure_detector(
-            batch=args.serving_batch, size=size,
-            resnet_type=args.detector_resnet or 101,
-            proposals=args.proposals, native=args.detector_scale is not None,
-            int8=args.int8, dtype=args.detector_dtype)
+        if args.split:
+            assert not args.int8, "--split does not compose with --int8"
+            ips, ms = measure_detector_split(
+                batch=args.serving_batch, size=size,
+                resnet_type=args.detector_resnet or 101,
+                proposals=args.proposals,
+                native=args.detector_scale is not None,
+                dtype=args.detector_dtype)
+        else:
+            ips, ms = measure_detector(
+                batch=args.serving_batch, size=size,
+                resnet_type=args.detector_resnet or 101,
+                proposals=args.proposals,
+                native=args.detector_scale is not None,
+                int8=args.int8, dtype=args.detector_dtype)
         out = {
             "metric": "detector_two_stage_images_per_sec_per_chip",
             "value": round(ips, 1), "unit": "images/sec/chip",
             "ms_per_batch%d_%dpx" % (args.serving_batch, size): round(ms, 1)}
+        if args.split:
+            out["split"] = True
         if args.int8:
             out["int8"] = True
         if args.proposals is not None:
@@ -1119,7 +1221,7 @@ def _run_raw_config(c, args):
             detector_scale=args.detector_scale,
             detector_resnet=args.detector_resnet,
             proposals=args.proposals, int8=args.int8,
-            loader_threads=args.loader_threads)
+            loader_threads=args.loader_threads, split=args.split)
         out = {
             "metric": "sustained_e2e_images_per_sec_per_chip",
             "value": round(ips, 1), "unit": "images/sec/chip",
@@ -1131,6 +1233,8 @@ def _run_raw_config(c, args):
                     "(the BASELINE.md north-star sentence)"}
         if args.int8:
             out["int8"] = True
+        if args.split:
+            out["split"] = True
         if args.proposals is not None:
             out["proposals"] = args.proposals
         if args.detector_scale is not None:

@@ -66,6 +66,13 @@ def build_argparser():
                         "('<prefix>.pose.npz' + '<prefix>.det.npz'): "
                         "reused when both exist (calibrate once, ship "
                         "everywhere), written after calibration otherwise")
+    p.add_argument("--split-detector", action="store_true",
+                   help="dispatch the detector as two XLA programs "
+                        "(detect_split) and the pose stage as a third — "
+                        "recovers the ~29%% one-program composition loss "
+                        "at parity scale (PERFORMANCE.md round-5 detector "
+                        "section). Single-chip latency knob: incompatible "
+                        "with --mesh and --int8")
     p.add_argument("--detector-norm", choices=("batch", "group"),
                    default=None,
                    help="must match the checkpoint's architecture: 'batch' "
@@ -224,10 +231,21 @@ def main(argv=None):
                 int8_calib = (jnp.asarray(host["image"]),
                               jnp.asarray(host["K"]),
                               jnp.asarray(host["ref_bone_len"]))
+        if args.split_detector:
+            if args.mesh not in ("auto", "none"):
+                raise SystemExit("--split-detector is a single-chip "
+                                 "latency knob; it does not compose with "
+                                 "an explicit --mesh")
+            if args.int8:
+                raise SystemExit("--split-detector does not compose with "
+                                 "--int8 (trace-time interception cannot "
+                                 "reach the cached split programs)")
         pipe = TwoStagePipeline(cfg, model, pose_vars, detector, det_vars,
-                                mesh=resolve_eval_mesh(args.mesh,
-                                                       args.batch_size),
-                                int8_calib=int8_calib)
+                                mesh=(None if args.split_detector else
+                                      resolve_eval_mesh(args.mesh,
+                                                        args.batch_size)),
+                                int8_calib=int8_calib,
+                                split_detector=args.split_detector)
         if args.int8:
             qp, qd = pipe.quantized
             print(f"int8: quantized {len(qp.paths)} pose + "

@@ -29,6 +29,7 @@ from hand_integral_pose_estimation_tpu.detect.hand_detector import (  # noqa: F4
     Detections,
     detect,
     detect_hand_crop_bbox,
+    detect_split,
     prepare_blob,
 )
 from hand_integral_pose_estimation_tpu.detect.synthetic import (  # noqa: F401

@@ -13,11 +13,18 @@ BN statistics are real; `cfg.freeze_bn=True` (default) reproduces that. When
 training from scratch set `freeze_bn=False` — identity-BN statistics let
 residual activations grow ~100x by layer3 and stall RPN optimisation (see
 the convergence study, cli/detector_convergence.py + PERFORMANCE.md).
+
+The forward is split into `upstream` (base -> RPN -> proposals) and
+`downstream` (ROIAlign -> tail -> heads) halves exposed as apply methods:
+the round-5 glue probe measured that XLA loses ~29 % compiling both halves
+into ONE program (layout/scheduling, immune to `optimization_barrier`), so
+serving can dispatch the halves as two back-to-back programs
+(hand_detector.detect_split) and recover the gap.
 """
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -60,36 +67,41 @@ class FasterRCNN(nn.Module):
     #: float32 either way — box decode/NMS/softmax always run float32)
     dtype: Any = None
 
-    @nn.compact
-    def __call__(self, images: jnp.ndarray, train: bool = False,
-                 gt_boxes: Optional[jnp.ndarray] = None,
-                 gt_classes: Optional[jnp.ndarray] = None,
-                 gt_valid: Optional[jnp.ndarray] = None) -> DetectionOutputs:
-        """images: (B, H, W, 3) BGR blobs, pixel-means subtracted
-        (blob.py:20-49). gt_* required when train=True."""
+    def setup(self):
         c = self.cfg
         dtype = (jnp.dtype(c.compute_dtype) if self.dtype is None
                  else self.dtype)
-        B, H, W = images.shape[0], images.shape[1], images.shape[2]
-        num_classes = len(c.classes)
+        self._compute_dtype = dtype
+        # attribute names == param-tree keys (checkpoint/interop contract)
+        self.base = ResNetBackbone(c.resnet_type, dtype, None,
+                                   num_stages=3, norm=c.norm,
+                                   style=c.resnet_style)
+        self.rpn_conv = nn.Conv(512, (3, 3), padding=1, dtype=dtype)
         A = len(c.anchor_scales) * len(c.anchor_ratios)
+        self.rpn_cls = nn.Conv(2 * A, (1, 1), dtype=dtype)
+        self.rpn_bbox = nn.Conv(4 * A, (1, 1), dtype=dtype)
+        self.tail = ResNetStage4(c.resnet_type, dtype, None, norm=c.norm,
+                                 style=c.resnet_style)
+        num_classes = len(c.classes)
+        self.cls_score = nn.Dense(num_classes, dtype=dtype)
+        self.bbox_pred = nn.Dense(4 * num_classes, dtype=dtype)
 
-        # BN mode: frozen (inference stats) in the reference's fine-tuning
-        # setup; live when training from scratch (cfg.freeze_bn=False)
+    # ---- upstream half: base convs -> RPN -> proposal layer -------------
+
+    def _rpn_proposals(self, images: jnp.ndarray, train: bool):
+        """base -> RPN heads -> fixed-size proposals. Returns everything
+        the training target layers need; inference uses (feats, props)."""
+        c = self.cfg
+        B, H, W = images.shape[0], images.shape[1], images.shape[2]
+        A = len(c.anchor_scales) * len(c.anchor_ratios)
         bn_train = train and not c.freeze_bn
-        base = ResNetBackbone(c.resnet_type, dtype, None,
-                              num_stages=3, norm=c.norm,
-                              style=c.resnet_style, name="base")
-        feats = base(images.astype(dtype), train=bn_train)
+        feats = self.base(images.astype(self._compute_dtype), train=bn_train)
         fh, fw = feats.shape[1], feats.shape[2]
 
         # RPN is convolutional: run batched directly (rpn.py:31-56)
-        rpn_trunk = nn.relu(nn.Conv(512, (3, 3), padding=1,
-                                    dtype=dtype, name="rpn_conv")(feats))
-        rpn_cls = nn.Conv(2 * A, (1, 1), dtype=dtype,
-                          name="rpn_cls")(rpn_trunk).reshape(B, fh, fw, A, 2)
-        rpn_reg = nn.Conv(4 * A, (1, 1), dtype=dtype,
-                          name="rpn_bbox")(rpn_trunk).reshape(B, fh, fw, A, 4)
+        trunk = nn.relu(self.rpn_conv(feats))
+        rpn_cls = self.rpn_cls(trunk).reshape(B, fh, fw, A, 2)
+        rpn_reg = self.rpn_bbox(trunk).reshape(B, fh, fw, A, 4)
 
         anchors = box_ops.grid_anchors(
             (fh, fw), c.feat_stride,
@@ -104,6 +116,66 @@ class FasterRCNN(nn.Module):
             lambda cl, rg: proposal_layer(cl, rg, anchors, (H, W), pre_n,
                                           post_n, c.rpn_nms_thresh,
                                           c.rpn_min_size))(rpn_cls, rpn_reg)
+        return feats, rpn_cls, rpn_reg, anchors, props
+
+    def upstream(self, images: jnp.ndarray) -> Tuple[jnp.ndarray,
+                                                     jnp.ndarray,
+                                                     jnp.ndarray]:
+        """Inference upstream program half: (B, H, W, 3) BGR blob ->
+        (feats, rois, roi_valid). feats stay in the compute dtype so the
+        inter-program transfer is half-size under bf16."""
+        feats, _, _, _, props = self._rpn_proposals(images, train=False)
+        return feats, props.rois, props.valid
+
+    # ---- downstream half: ROIAlign -> stage-4 tail -> heads --------------
+
+    def _head_outputs(self, feats: jnp.ndarray, rois: jnp.ndarray,
+                      train: bool):
+        """ROIAlign -> layer4 -> spatial mean -> class/bbox heads."""
+        c = self.cfg
+        B, R = rois.shape[0], rois.shape[1]
+        num_classes = len(c.classes)
+        # inference: VMEM-resident Pallas kernel (auto, TPU only); training
+        # keeps the XLA formulation — its backward comes from autodiff,
+        # which pallas_call does not provide
+        pooled = roi_align_batched(
+            feats.astype(jnp.float32), rois, c.pooling_size,
+            c.spatial_scale, c.sampling_ratio,
+            impl="xla" if train else "auto")
+        pooled = pooled.reshape(B * R, c.pooling_size, c.pooling_size, -1)
+
+        bn_train = train and not c.freeze_bn
+        h = self.tail(pooled, train=bn_train).mean(axis=(1, 2))  # (B*R, C)
+
+        cls_logits = self.cls_score(h).reshape(B, R, num_classes)
+        bbox_pred = self.bbox_pred(h).reshape(B, R, 4 * num_classes)
+        return cls_logits, bbox_pred
+
+    def downstream(self, feats: jnp.ndarray, rois: jnp.ndarray,
+                   roi_valid: jnp.ndarray) -> DetectionOutputs:
+        """Inference downstream program half: `upstream`'s outputs ->
+        DetectionOutputs (losses=None)."""
+        cls_logits, bbox_pred = self._head_outputs(feats, rois, train=False)
+        probs = jax.nn.softmax(cls_logits.astype(jnp.float32), axis=-1)
+        return DetectionOutputs(rois=rois, roi_valid=roi_valid,
+                                cls_scores=probs,
+                                bbox_deltas=bbox_pred.astype(jnp.float32),
+                                losses=None)
+
+    # ---- full forward -----------------------------------------------------
+
+    def __call__(self, images: jnp.ndarray, train: bool = False,
+                 gt_boxes: Optional[jnp.ndarray] = None,
+                 gt_classes: Optional[jnp.ndarray] = None,
+                 gt_valid: Optional[jnp.ndarray] = None) -> DetectionOutputs:
+        """images: (B, H, W, 3) BGR blobs, pixel-means subtracted
+        (blob.py:20-49). gt_* required when train=True."""
+        c = self.cfg
+        B, H, W = images.shape[0], images.shape[1], images.shape[2]
+        num_classes = len(c.classes)
+
+        feats, rpn_cls, rpn_reg, anchors, props = self._rpn_proposals(
+            images, train)
 
         losses = None
         rois, roi_valid = props.rois, props.valid
@@ -126,25 +198,8 @@ class FasterRCNN(nn.Module):
               gt_valid)
             rois, roi_valid = ptargets.rois, ptargets.valid
 
-        # inference: VMEM-resident Pallas kernel (auto, TPU only); training
-        # keeps the XLA formulation — its backward comes from autodiff,
-        # which pallas_call does not provide
-        pooled = roi_align_batched(
-            feats.astype(jnp.float32), rois, c.pooling_size,
-            c.spatial_scale, c.sampling_ratio,
-            impl="xla" if train else "auto")
+        cls_logits, bbox_pred = self._head_outputs(feats, rois, train)
         R = rois.shape[1]
-        pooled = pooled.reshape(B * R, c.pooling_size, c.pooling_size, -1)
-
-        tail = ResNetStage4(c.resnet_type, dtype, None, norm=c.norm,
-                            style=c.resnet_style, name="tail")
-        h = tail(pooled, train=bn_train).mean(axis=(1, 2))  # (B*R, 2048)
-
-        cls_logits = nn.Dense(num_classes, dtype=dtype,
-                              name="cls_score")(h).reshape(B, R, num_classes)
-        bbox_pred = nn.Dense(4 * num_classes, dtype=dtype,
-                             name="bbox_pred")(h).reshape(B, R,
-                                                          4 * num_classes)
 
         if train:
             def _head_losses(cl, bp, t):

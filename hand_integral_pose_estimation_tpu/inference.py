@@ -58,7 +58,7 @@ class TwoStagePipeline:
 
     def __init__(self, cfg: Config, pose_net: ResPoseNet, pose_variables,
                  detector: FasterRCNN, detector_variables, mesh=None,
-                 int8_calib=None):
+                 int8_calib=None, split_detector: bool = False):
         self.cfg = cfg
         self.pose_net = pose_net
         self.pose_variables = pose_variables
@@ -66,7 +66,26 @@ class TwoStagePipeline:
         self.detector_variables = detector_variables
         self.mesh = mesh
         self.quantized = None
+        self.split_detector = split_detector
         run = self._build()
+        if split_detector:
+            # latency knob: the detector dispatches as TWO programs
+            # (detect_split — recovers the ~29 % one-program composition
+            # loss at parity scale, PERFORMANCE.md round-5 detector
+            # section) and the pose stage as a third. Single-chip serving
+            # only: the multi-dispatch path can't live inside one
+            # shard_map region, and the pre-jitted split programs would
+            # silently miss the int8 trace-time interception.
+            if mesh is not None:
+                raise ValueError("split_detector does not compose with "
+                                 "mesh — shard_map needs one program")
+            if int8_calib is not None:
+                raise ValueError("split_detector does not compose with "
+                                 "int8_calib (trace-time interception "
+                                 "cannot reach the cached split programs)")
+            self._pose_run = jax.jit(self._pose_stage)
+            self._run = None
+            return
         if int8_calib is not None:
             run = self._quantize(run, int8_calib)
         # un-jitted, un-meshed program (int8 applied); bench.py chains it
@@ -145,37 +164,50 @@ class TwoStagePipeline:
                 return run(pose_vars, det_vars, images_rgb, K, ref_bone_len)
         return qrun
 
-    def _build(self):
+    def _pose_stage(self, pose_vars, images_rgb, bbox, K, ref_bone_len):
+        """Stage 2: on-device crop (R = I eval path) + pose net + fused
+        decode + camera back-projection, from a given crop box."""
         cfg = self.cfg
         J, D = cfg.model.num_joints, cfg.model.depth_dim
         hw = cfg.model.input_shape
+        batch = pipeline.make_eval_batch(
+            images_rgb, jnp.zeros((images_rgb.shape[0], J, 3),
+                                  jnp.float32),
+            K, bbox, ref_bone_len, cfg.augment, hw)
+        # fused projection+integral: the heatmap never leaves VMEM
+        feats = self.pose_net.apply(pose_vars, batch.image, train=False,
+                                    return_features=True)
+        Wp, bp = self.pose_net.final_projection(pose_vars["params"])
+        coords = head_projection_integral(feats, Wp, bp, J, D)
+        # back-projection without derotation + bone rescale
+        # (evaluate_evaluations contract, FreiHand.py:853-917)
+        from hand_integral_pose_estimation_tpu.geometry import labels
+        cam = labels.patch_label_to_camera(
+            coords, batch.trans_inv, batch.tprime, K, R=None,
+            patch_width=hw[1], patch_height=hw[0], derotate=False)
+        cam = metrics.scale_by_ref_bone(cam, ref_bone_len)
+        return PipelineOutput(joints_cam=cam, coords_label=coords,
+                              crop_bbox=bbox, tprime=batch.tprime)
+
+    def _build(self):
+        cfg = self.cfg
 
         def run(pose_vars, det_vars, images_rgb, K, ref_bone_len):
             # stage 1: detector -> square+padded crop boxes
             bbox = detect_hand_crop_bbox(self.detector, det_vars,
                                          images_rgb, cfg.detector,
                                          pad_factor=cfg.augment.pad_factor)
-            # stage 2: on-device crop (R = I eval path) + pose net
-            batch = pipeline.make_eval_batch(
-                images_rgb, jnp.zeros((images_rgb.shape[0], J, 3),
-                                      jnp.float32),
-                K, bbox, ref_bone_len, cfg.augment, hw)
-            # fused projection+integral: the heatmap never leaves VMEM
-            feats = self.pose_net.apply(pose_vars, batch.image, train=False,
-                                        return_features=True)
-            Wp, bp = self.pose_net.final_projection(pose_vars["params"])
-            coords = head_projection_integral(feats, Wp, bp, J, D)
-            # back-projection without derotation + bone rescale
-            # (evaluate_evaluations contract, FreiHand.py:853-917)
-            from hand_integral_pose_estimation_tpu.geometry import labels
-            cam = labels.patch_label_to_camera(
-                coords, batch.trans_inv, batch.tprime, K, R=None,
-                patch_width=hw[1], patch_height=hw[0], derotate=False)
-            cam = metrics.scale_by_ref_bone(cam, ref_bone_len)
-            return PipelineOutput(joints_cam=cam, coords_label=coords,
-                                  crop_bbox=bbox, tprime=batch.tprime)
+            return self._pose_stage(pose_vars, images_rgb, bbox, K,
+                                    ref_bone_len)
         return run
 
     def __call__(self, images_rgb, K, ref_bone_len) -> PipelineOutput:
+        if self.split_detector:
+            bbox = detect_hand_crop_bbox(
+                self.detector, self.detector_variables, images_rgb,
+                self.cfg.detector, pad_factor=self.cfg.augment.pad_factor,
+                split=True)
+            return self._pose_run(self.pose_variables, images_rgb, bbox,
+                                  K, ref_bone_len)
         return self._run(self.pose_variables, self.detector_variables,
                          images_rgb, K, ref_bone_len)

@@ -14,6 +14,7 @@ from hand_integral_pose_estimation_tpu.detect import (
     decode_boxes,
     detect,
     detect_hand_crop_bbox,
+    detect_split,
     encode_boxes,
     generate_base_anchors,
     grid_anchors,
@@ -429,6 +430,38 @@ class TestFasterRCNN:
         assert crop.shape == (2, 4)
         assert bool(jnp.isfinite(crop).all())
 
+    def test_split_programs_match_monolith(self, tiny_detector, rng):
+        # detect_split dispatches upstream/downstream as two XLA programs
+        # (the one-program compile loses ~29 % to layout/scheduling,
+        # PERFORMANCE.md round-5 detector section); outputs must match the
+        # monolith facade
+        model, variables, cfg = tiny_detector
+        img = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32) * 255)
+        mono = detect(model, variables, img, cfg)
+        split = detect_split(model, variables, img, cfg)
+        np.testing.assert_allclose(split.boxes, mono.boxes, atol=1e-4)
+        np.testing.assert_allclose(split.scores, mono.scores, atol=1e-5)
+        np.testing.assert_array_equal(split.valid, mono.valid)
+        crop_m = detect_hand_crop_bbox(model, variables, img, cfg)
+        crop_s = detect_hand_crop_bbox(model, variables, img, cfg,
+                                       split=True)
+        np.testing.assert_allclose(crop_s, crop_m, atol=1e-4)
+
+    def test_upstream_downstream_compose_to_call(self, tiny_detector, rng):
+        # the apply-method halves must be the SAME forward as __call__
+        # (inference): feats/rois round-trip through the method boundary
+        model, variables, cfg = tiny_detector
+        img = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32) * 255)
+        full = model.apply(variables, img, train=False)
+        feats, rois, valid = model.apply(variables, img, method="upstream")
+        half = model.apply(variables, feats, rois, valid,
+                           method="downstream")
+        np.testing.assert_array_equal(half.rois, full.rois)
+        np.testing.assert_allclose(half.cls_scores, full.cls_scores,
+                                   atol=1e-6)
+        np.testing.assert_allclose(half.bbox_deltas, full.bbox_deltas,
+                                   atol=1e-6)
+
 
 class TestDetectorData:
     def test_gt_bbox_and_batch(self, rng):
@@ -539,6 +572,26 @@ class TestTwoStagePipeline:
         # TestChallengeDump.test_pred_json_structure with real geometry; an
         # untrained net decodes all joints to the same point, which makes an
         # exact bone assertion fp-degenerate here)
+
+        # split_detector=True: same pipeline as 3 dispatches (det upstream,
+        # det downstream + crop, pose program) — must match the monolith
+        from hand_integral_pose_estimation_tpu.inference import (
+            TwoStagePipeline as TSP,
+        )
+        split_pipe = TSP(cfg, pose, pose_vars, det_model, det_vars,
+                         split_detector=True)
+        out_s = split_pipe(imgs, K, jnp.ones(2))
+        np.testing.assert_allclose(out_s.crop_bbox, out.crop_bbox,
+                                   atol=1e-4)
+        np.testing.assert_allclose(out_s.joints_cam, out.joints_cam,
+                                   rtol=1e-4, atol=1e-5)
+        # the knob refuses the combinations it can't honour
+        import pytest as _pytest
+        from jax.sharding import Mesh
+        with _pytest.raises(ValueError, match="mesh"):
+            TSP(cfg, pose, pose_vars, det_model, det_vars,
+                split_detector=True,
+                mesh=Mesh(np.array(jax.devices()[:1]), ("data",)))
 
 
 class TestBuildDetector:
