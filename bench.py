@@ -603,6 +603,93 @@ def measure_serving_two_program(batch=4, proposals=None, native_scale=None,
     return batch / per_call, t_det * 1e3, t_pose * 1e3
 
 
+def measure_serving_split(batch=4, proposals=None, native_scale=None,
+                          detector_resnet=None, dtype=None):
+    """Config #6 --split: the ACTUAL production split-program serving path
+    (exactly what `cli/evaluate.py --split-detector` dispatches): detector
+    upstream, detector downstream + crop math, pose program — three
+    chained dispatches per batch, measured as chained wall-clock
+    differenced at two chain lengths (per-dispatch client overhead
+    included; upper bound on device time). Unlike the two-program BOUND
+    above, nothing is summed — this is one number from the real API."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    from hand_integral_pose_estimation_tpu.config import (
+        Config, DetectorConfig,
+    )
+    from hand_integral_pose_estimation_tpu.data import pipeline
+    from hand_integral_pose_estimation_tpu.detect.faster_rcnn import (
+        FasterRCNN,
+    )
+    from hand_integral_pose_estimation_tpu.detect.hand_detector import (
+        detect_hand_crop_bbox,
+    )
+    from hand_integral_pose_estimation_tpu.evaluation import metrics
+    from hand_integral_pose_estimation_tpu.geometry import labels
+    from hand_integral_pose_estimation_tpu.models import get_pose_net
+    from hand_integral_pose_estimation_tpu.ops.fused_head import (
+        head_projection_integral,
+    )
+
+    cfg = Config()
+    if native_scale is not None:
+        dcfg = DetectorConfig.native(native_scale, detector_resnet or 101)
+        cfg = dataclasses.replace(cfg, detector=dcfg)
+    elif detector_resnet is not None:
+        cfg = dataclasses.replace(cfg, detector=dataclasses.replace(
+            cfg.detector, resnet_type=detector_resnet))
+    if proposals is not None:
+        cfg = dataclasses.replace(cfg, detector=dataclasses.replace(
+            cfg.detector, rpn_post_nms_top_n_test=proposals))
+    if dtype is not None:
+        cfg = dataclasses.replace(cfg, detector=dataclasses.replace(
+            cfg.detector, compute_dtype=dtype))
+    J, D = cfg.model.num_joints, cfg.model.depth_dim
+    hw = cfg.model.input_shape
+    H = W = 224  # FreiHAND native frame; parity mode blob-upscales to 600
+    images = _detector_images(batch, H)
+    K = jnp.broadcast_to(
+        jnp.asarray([[531.9, 0, W / 2.0], [0, 532.2, H / 2.0], [0, 0, 1.0]],
+                    jnp.float32), (batch, 3, 3))
+    ref_len = jnp.ones((batch,), jnp.float32)
+
+    det = FasterRCNN(cfg=cfg.detector)
+    det_vars = det.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        jnp.zeros((1, H, W, 3)))
+    net = get_pose_net(cfg.model)
+    pose_vars = net.init(jax.random.PRNGKey(0), jnp.zeros((1,) + hw + (3,)))
+
+    @jax.jit
+    def pose_step(pose_vars, imgs, bbox):
+        b = pipeline.make_eval_batch(
+            imgs, jnp.zeros((batch, J, 3), jnp.float32), K, bbox,
+            ref_len, cfg.augment, hw)
+        feats = net.apply(pose_vars, b.image, train=False,
+                          return_features=True)
+        Wp, bp = net.final_projection(pose_vars["params"])
+        coords = head_projection_integral(feats, Wp, bp, J, D)
+        cam = labels.patch_label_to_camera(
+            coords, b.trans_inv, b.tprime, K, R=None,
+            patch_width=hw[1], patch_height=hw[0], derotate=False)
+        cam = metrics.scale_by_ref_bone(cam, ref_len)
+        return imgs + 1e-9 * jnp.sum(cam)
+
+    def chain(k):
+        im = images
+        for _ in range(k):
+            bbox = detect_hand_crop_bbox(det, det_vars, im, cfg.detector,
+                                         pad_factor=cfg.augment.pad_factor,
+                                         split=True)
+            im = pose_step(pose_vars, im, bbox)
+        return np.asarray(im[0, 0, 0])
+
+    per_call = _diff_timed(chain, n_steps=10, reps=3)
+    return batch / per_call, per_call * 1e3
+
+
 def measure_serving_monolith(batch=4, native_scale=None,
                              detector_resnet=None, proposals=None,
                              int8=False):
@@ -1093,7 +1180,7 @@ def _parse_args(argv=None):
                    "(DetectorConfig.compute_dtype; decode/NMS/softmax "
                    "always run float32)")
     p.add_argument("--split", action="store_true",
-                   help="configs 4/7: dispatch the detector as TWO programs "
+                   help="configs 4/6/7: dispatch the detector as TWO programs "
                    "(detect_split: upstream base+RPN+proposals, downstream "
                    "ROIAlign+tail+NMS) — recovers the ~29 %% one-program "
                    "composition loss (PERFORMANCE.md round-5 detector "
@@ -1270,6 +1357,21 @@ def _run_raw_config(c, args):
                 "note": "single-XLA-program TwoStagePipeline monolith"}
             if args.int8:
                 out["int8"] = True
+        elif args.split:
+            assert not args.int8, "--split does not compose with --int8"
+            ips, ms = measure_serving_split(
+                batch=sb, proposals=args.proposals,
+                native_scale=args.detector_scale,
+                detector_resnet=args.detector_resnet,
+                dtype=args.detector_dtype)
+            out = {
+                "metric": "serving_two_stage_images_per_sec_per_chip",
+                "value": round(ips, 1), "unit": "images/sec/chip",
+                "ms_per_batch%d" % sb: round(ms, 2),
+                "split": True,
+                "note": "three-dispatch split-program serving path "
+                        "(detect_split + pose program), chained "
+                        "wall-clock"}
         else:
             ips, det_ms, pose_ms = measure_serving_two_program(
                 batch=sb, proposals=args.proposals,
