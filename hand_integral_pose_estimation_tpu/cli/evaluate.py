@@ -87,6 +87,10 @@ def build_argparser():
     p.add_argument("--pose-input", type=int, default=224)
     p.add_argument("--pose-depth", type=int, default=None,
                    help="heatmap depth bins (default: pose-input // 4)")
+    from hand_integral_pose_estimation_tpu.detect.config_compat import (
+        add_override_flags,
+    )
+    add_override_flags(p)
     return p
 
 
@@ -109,7 +113,7 @@ def resolve_detector_cfg(args, base):
         det_cfg = base
     scale = args.detector_scale or det_cfg.test_scale
     norm = args.detector_norm or det_cfg.norm
-    return dataclasses.replace(
+    det_cfg = dataclasses.replace(
         det_cfg, resnet_type=args.detector_resnet or det_cfg.resnet_type,
         norm=norm,
         resnet_style=args.detector_style or default_resnet_style(
@@ -121,6 +125,13 @@ def resolve_detector_cfg(args, base):
                        else scale),
         rpn_post_nms_top_n_test=(args.detector_proposals
                                  or det_cfg.rpn_post_nms_top_n_test))
+    # reference-format overrides apply last (--cfg-file then --set), so an
+    # operator's carried-over RCNN yaml / KEY VALUE pairs win over the
+    # per-field convenience flags — the order trainval_net.py used
+    from hand_integral_pose_estimation_tpu.detect.config_compat import (
+        overrides_from_args,
+    )
+    return overrides_from_args(det_cfg, args)
 
 
 def main(argv=None):

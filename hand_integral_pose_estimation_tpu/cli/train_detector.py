@@ -177,6 +177,10 @@ def main(argv=None):
     p.add_argument("--rpn-pre-nms", type=int, default=6000)
     p.add_argument("--rpn-post-nms", type=int, default=512)
     p.add_argument("--roi-batch", type=int, default=128)
+    from hand_integral_pose_estimation_tpu.detect.config_compat import (
+        add_override_flags,
+    )
+    add_override_flags(p)
     args = p.parse_args(argv)
 
     if args.data_dir:
@@ -196,7 +200,10 @@ def main(argv=None):
         dataset = SyntheticFreiHand(n=args.n, render_joints=True,
                                     seed=args.seed)
 
-    cfg = detector_cfg_from_args(args)
+    from hand_integral_pose_estimation_tpu.detect.config_compat import (
+        overrides_from_args,
+    )
+    cfg = overrides_from_args(detector_cfg_from_args(args), args)
     result = train_detector(
         dataset, cfg, steps=args.steps, batch=args.batch, lr=args.lr,
         seed=args.seed, eval_every=args.eval_every,

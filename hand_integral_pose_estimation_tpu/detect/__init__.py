@@ -21,6 +21,17 @@ from hand_integral_pose_estimation_tpu.detect.targets import (  # noqa: F401
     detection_head_losses,
     proposal_target_layer,
 )
+from hand_integral_pose_estimation_tpu.detect.config_compat import (  # noqa: F401,E501
+    apply_rcnn_overrides,
+    cfg_from_file,
+    cfg_from_list,
+)
+from hand_integral_pose_estimation_tpu.detect.data import (  # noqa: F401
+    aspect_ratio_batches,
+    build_grouped_batches,
+    crop_pad_to_ratio,
+    rank_aspect_ratios,
+)
 from hand_integral_pose_estimation_tpu.detect.faster_rcnn import (  # noqa: F401
     DetectionOutputs,
     FasterRCNN,
