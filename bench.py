@@ -792,20 +792,24 @@ def _sustained_split(n_images, size=224):
 
 
 def measure_loader(n_images=2048, size=224, threads=(1, 2, 4, 8, 16),
-                   batch=32):
+                   batch=32, yuv420=False):
     """Config #8: the native C++ JPEG loader standalone (native/hipe_io.cpp
     thread pool), host-only — the never-measured decode side of the
     north-star roofline. Returns {threads: images/sec} sustained over the
-    whole split, submit/wait batched like the Trainer uses it."""
+    whole split, submit/wait batched like the Trainer uses it. With
+    yuv420=True the decode stops at the file's own subsampled planes
+    (chroma upsample + color conversion move on-device, ops/yuv.py)."""
     from hand_integral_pose_estimation_tpu.data.native_loader import (
         NativeLoader, load_library,
     )
 
     paths, _ = _sustained_split(n_images, size)
     assert load_library() is not None, "native loader failed to build"
+    layout = "yuv420" if yuv420 else "rgb"
     out = {}
     for t in threads:
-        loader = NativeLoader(batch, size, size, num_threads=t)
+        loader = NativeLoader(batch, size, size, num_threads=t,
+                              layout=layout)
         assert loader.available
         batches = [paths[i:i + batch] for i in range(0, len(paths), batch)]
         loader.submit(batches[0])     # warm the pool
@@ -817,7 +821,7 @@ def measure_loader(n_images=2048, size=224, threads=(1, 2, 4, 8, 16),
             if i + 1 < len(batches):
                 loader.submit(batches[i + 1])
         dt = time.perf_counter() - t0
-        assert imgs.shape[-1] == 3
+        assert imgs.shape[-1] == (size * size * 3 // 2 if yuv420 else 3)
         out[t] = n_images / dt
         del loader
     return out
@@ -825,7 +829,8 @@ def measure_loader(n_images=2048, size=224, threads=(1, 2, 4, 8, 16),
 
 def measure_sustained(n_images=1024, batch=32, detector_scale=None,
                       detector_resnet=None, proposals=None, int8=False,
-                      loader_threads=None, max_inflight=3, split=False):
+                      loader_threads=None, max_inflight=3, split=False,
+                      yuv420=False):
     """Config #7: the LITERAL north-star path, sustained wall-clock —
     JPEG files on disk -> native C++ decode (double-buffered) -> H2D ->
     detector -> crop -> pose -> camera back-projection -> batched
@@ -901,17 +906,34 @@ def measure_sustained(n_images=1024, batch=32, detector_scale=None,
 
     # int8 calibration needs a real decoded batch, so it waits for the
     # loader's first batch below
-    loader = NativeLoader(batch, size, size, num_threads=loader_threads)
+    loader = NativeLoader(batch, size, size, num_threads=loader_threads,
+                          layout="yuv420" if yuv420 else "rgb")
     assert loader.available, "native loader failed to build"
     batches = [paths[i:i + batch] for i in range(0, len(paths), batch)]
     loader.submit(batches[0])
     first = loader.wait()
 
+    if yuv420:
+        # the loader ships the file's own subsampled planes (half the H2D
+        # bytes against the measured ~38 MB/s tunnel ceiling); one small
+        # jitted program finishes the decode on-device, BITWISE equal to
+        # the host RGB path (tests/test_yuv.py)
+        from hand_integral_pose_estimation_tpu.ops.yuv import yuv420_to_rgb
+
+        @jax.jit
+        def convert_prog(packed):
+            return yuv420_to_rgb(packed, size, size)
+
+        first_imgs = np.asarray(convert_prog(jnp.asarray(first)))
+    else:
+        convert_prog = None
+        first_imgs = first
+
     if int8:
         from hand_integral_pose_estimation_tpu.quantize import (
             calibrate, quantize_params, quantized_calls,
         )
-        calib = jnp.asarray(first.astype(np.float32))
+        calib = jnp.asarray(first_imgs.astype(np.float32))
 
         def calib_det(im):
             return detect_hand_crop_bbox(det, det_vars, im, cfg.detector,
@@ -989,6 +1011,8 @@ def measure_sustained(n_images=1024, batch=32, detector_scale=None,
 
     def run_batch(images_u8):
         x = jnp.asarray(images_u8)                 # H2D (uint8: 4x smaller)
+        if convert_prog is not None:               # yuv420: 1.5 B/px H2D,
+            x = convert_prog(x)                    # finish decode on-device
         bbox = detect_prog(det_vars, x)
         return pose_prog(pose_vars, x, bbox)
 
@@ -1209,6 +1233,12 @@ def _parse_args(argv=None):
     p.add_argument("--loader-threads", type=int, default=None,
                    help="config 7: decode thread count (default: the "
                    "NativeLoader default, min(cpus, 16))")
+    p.add_argument("--yuv420", action="store_true",
+                   help="configs 7/8: decode to the JPEG's own subsampled "
+                        "4:2:0 planes on the host and finish (fancy "
+                        "upsample + color convert, bitwise libjpeg-equal) "
+                        "on-device — halves H2D bytes and host decode "
+                        "work (ops/yuv.py; gate: tests/test_yuv.py)")
     p.add_argument("--raw", action="store_true",
                    help="measure in-process with no watchdog (the guarded "
                    "parent invokes this in a subprocess)")
@@ -1308,7 +1338,8 @@ def _run_raw_config(c, args):
             detector_scale=args.detector_scale,
             detector_resnet=args.detector_resnet,
             proposals=args.proposals, int8=args.int8,
-            loader_threads=args.loader_threads, split=args.split)
+            loader_threads=args.loader_threads, split=args.split,
+            yuv420=args.yuv420)
         out = {
             "metric": "sustained_e2e_images_per_sec_per_chip",
             "value": round(ips, 1), "unit": "images/sec/chip",
@@ -1322,6 +1353,8 @@ def _run_raw_config(c, args):
             out["int8"] = True
         if args.split:
             out["split"] = True
+        if args.yuv420:
+            out["yuv420"] = True
         if args.proposals is not None:
             out["proposals"] = args.proposals
         if args.detector_scale is not None:
@@ -1332,9 +1365,9 @@ def _run_raw_config(c, args):
             out["loader_threads"] = args.loader_threads
         print(json.dumps(out))
     elif c == 8:
-        rates = measure_loader()
+        rates = measure_loader(yuv420=args.yuv420)
         best_t = max(rates, key=rates.get)
-        print(json.dumps({
+        out = {
             "metric": "native_jpeg_decode_images_per_sec",
             "value": round(rates[best_t], 1), "unit": "images/sec",
             "best_threads": best_t,
@@ -1342,7 +1375,10 @@ def _run_raw_config(c, args):
                                  for k, v in rates.items()},
             "note": "native/hipe_io.cpp thread pool, 224px JPEGs, "
                     "host-only (the decode side of the sustained "
-                    "roofline)"}))
+                    "roofline)"}
+        if args.yuv420:
+            out["yuv420"] = True
+        print(json.dumps(out))
     elif c == 6:
         sb = args.serving_batch
         if args.monolith:
@@ -1468,9 +1504,13 @@ def _tpu_alive():
     return False, reason
 
 
-def _measure_in_subprocess(c, args):
-    """Run one config's measurement as `bench.py --raw` under a watchdog.
-    Returns (record_or_None, reason)."""
+def _raw_cmd(c, args):
+    """The `bench.py --raw` invocation reproducing every knob of `args`.
+
+    Keep in sync with _parse_args: a knob missing here silently measures
+    the DEFAULT shape in the subprocess while the caller believes the knob
+    was applied (tests/test_bench_guard.py::test_raw_cmd_forwards_every_knob
+    guards this)."""
     cmd = [sys.executable, os.path.abspath(__file__), "--raw",
            "--config", str(c), "--batch", str(args.batch),
            "--rotation-mode", args.rotation_mode,
@@ -1487,6 +1527,8 @@ def _measure_in_subprocess(c, args):
         cmd += ["--detector-resnet", str(args.detector_resnet)]
     if args.detector_dtype is not None:
         cmd += ["--detector-dtype", args.detector_dtype]
+    if args.split:
+        cmd += ["--split"]
     if args.monolith:
         cmd += ["--monolith"]
     if args.int8:
@@ -1495,10 +1537,19 @@ def _measure_in_subprocess(c, args):
         cmd += ["--sustained-images", str(args.sustained_images)]
     if args.loader_threads is not None:
         cmd += ["--loader-threads", str(args.loader_threads)]
+    if args.yuv420:
+        cmd += ["--yuv420"]
     if args.serving_batch != 4:
         cmd += ["--serving-batch", str(args.serving_batch)]
     if args.cpu_baseline and c == 2:
         cmd += ["--cpu-baseline"]
+    return cmd
+
+
+def _measure_in_subprocess(c, args):
+    """Run one config's measurement as `bench.py --raw` under a watchdog.
+    Returns (record_or_None, reason)."""
+    cmd = _raw_cmd(c, args)
     if os.environ.get("HIPE_BENCH_SIMULATE_OUTAGE"):
         # the simulated outage must also fail the measurement stage when the
         # probe is (hypothetically) let through
@@ -1538,10 +1589,12 @@ def _is_default_shape(args):
             and args.detector_resnet is None
             and args.detector_dtype is None
             and not args.monolith
+            and not args.split
             and not args.int8
             and args.serving_batch == 4
             and args.sustained_images == 1024
-            and args.loader_threads is None)
+            and args.loader_threads is None
+            and not args.yuv420)
 
 
 def _emit_stale(c, reason, args=None):

@@ -42,6 +42,12 @@ def load_library() -> Optional[ctypes.CDLL]:
     lib = ctypes.CDLL(_LIB_PATH)
     lib.hipe_loader_create.restype = ctypes.c_void_p
     lib.hipe_loader_create.argtypes = [ctypes.c_int] * 4
+    lib.hipe_loader_create_yuv420.restype = ctypes.c_void_p
+    lib.hipe_loader_create_yuv420.argtypes = [ctypes.c_int] * 4
+    lib.hipe_decode_jpeg_yuv420.restype = ctypes.c_int
+    lib.hipe_decode_jpeg_yuv420.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int]
     lib.hipe_loader_destroy.argtypes = [ctypes.c_void_p]
     lib.hipe_decode_jpeg.restype = ctypes.c_int
     lib.hipe_decode_jpeg.argtypes = [
@@ -76,6 +82,30 @@ def decode_jpeg(path: str, height: int = 224, width: int = 224
     return out
 
 
+def decode_jpeg_yuv420(path: str, height: int = 224, width: int = 224
+                       ) -> np.ndarray:
+    """Decode one 4:2:0 JPEG to its packed planar representation.
+
+    Returns (height*width*3//2,) uint8: the Y plane, then Cb (h/2, w/2),
+    then Cr — finish on-device with ops.yuv.yuv420_to_rgb (bitwise equal to
+    the full RGB decode). Raises if the file is not a (height, width) 4:2:0
+    JPEG or the native library is unavailable (no cv2 fallback can produce
+    the pre-upsample planes).
+    """
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native loader unavailable; YUV 4:2:0 decode "
+                           "has no cv2 fallback")
+    out = np.empty((height * width * 3 // 2,), np.uint8)
+    rc = lib.hipe_decode_jpeg_yuv420(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        height, width)
+    if rc != 0:
+        raise IOError(f"hipe_decode_jpeg_yuv420({path}) -> {rc} "
+                      "(-3 = not a matching 4:2:0 JPEG)")
+    return out
+
+
 class NativeLoader:
     """Double-buffered batch prefetcher.
 
@@ -86,20 +116,34 @@ class NativeLoader:
         while ...:
             loader.submit(next_paths)      # decode overlaps device step
             batch = loader.wait()          # (B, H, W, 3) uint8 RGB
+
+    With ``layout="yuv420"`` batches stay in the file's own subsampled
+    planar form — (B, H*W*3//2) uint8, 2x fewer bytes to ship — and the
+    consumer finishes the decode on-device via ops.yuv.yuv420_to_rgb.
+    YUV mode requires the native library (no cv2 fallback) and every file
+    to be a (H, W) 4:2:0 JPEG.
     """
 
     def __init__(self, batch: int, height: int = 224, width: int = 224,
-                 num_threads: Optional[int] = None):
+                 num_threads: Optional[int] = None, layout: str = "rgb"):
+        assert layout in ("rgb", "yuv420"), layout
         self.batch = batch
         self.height = height
         self.width = width
+        self.layout = layout
         self._lib = load_library()
         self.available = self._lib is not None
         self._pending: Optional[Sequence[str]] = None
+        if layout == "yuv420" and not self.available:
+            raise RuntimeError("layout='yuv420' requires the native library")
         if self.available:
-            self._handle = self._lib.hipe_loader_create(
-                num_threads or min(os.cpu_count() or 8, 16), height, width,
-                batch)
+            threads = num_threads or min(os.cpu_count() or 8, 16)
+            if layout == "yuv420":
+                self._handle = self._lib.hipe_loader_create_yuv420(
+                    threads, height, width, batch)
+            else:
+                self._handle = self._lib.hipe_loader_create(
+                    threads, height, width, batch)
         else:
             self._handle = None
 
@@ -123,7 +167,12 @@ class NativeLoader:
                             for p in self._pending])
             self._pending = None
             return out
-        out = np.empty((self.batch, self.height, self.width, 3), np.uint8)
+        if self.layout == "yuv420":
+            out = np.empty((self.batch, self.height * self.width * 3 // 2),
+                           np.uint8)
+        else:
+            out = np.empty((self.batch, self.height, self.width, 3),
+                           np.uint8)
         errs = self._lib.hipe_loader_wait(
             self._handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
         if errs:

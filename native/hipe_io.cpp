@@ -143,6 +143,123 @@ int decode_jpeg_file(const char* path, uint8_t* out, int out_h, int out_w) {
   return 0;
 }
 
+// Decode one JPEG file to PLANAR YUV 4:2:0 — the subsampled representation
+// the file already stores. Skips the two most expensive host-side stages of
+// a full RGB decode (chroma upsampling + YCbCr->RGB conversion, done on the
+// accelerator instead: ops/yuv.py emulates libjpeg's fancy upsample + fixed
+// point color tables bitwise) and halves the bytes shipped host->device
+// (1.5 B/px vs 3 B/px).
+//
+// `out` layout: Y plane (h*w), then Cb (h/2 * w/2), then Cr — 3/2*h*w bytes.
+// Requirements: the file must be a 3-component YCbCr JPEG with 2x2,1x1,1x1
+// sampling (the default emitted by libjpeg/cv2/PIL) at EXACTLY (out_h,
+// out_w); anything else returns -3 so callers can fall back to the RGB path.
+int decode_jpeg_file_yuv420(const char* path, uint8_t* out, int out_h,
+                            int out_w) {
+  if (out_h % 2 || out_w % 2) return -3;
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  std::vector<uint8_t> blob;
+  {
+    fseek(f, 0, SEEK_END);
+    const long sz = ftell(f);
+    if (sz <= 0) {
+      fclose(f);
+      return -1;
+    }
+    blob.resize(static_cast<size_t>(sz));
+    fseek(f, 0, SEEK_SET);
+    const size_t got = fread(blob.data(), 1, blob.size(), f);
+    fclose(f);
+    if (got != blob.size()) return -1;
+  }
+
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -2;
+  }
+
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, blob.data(), blob.size());
+  jpeg_read_header(&cinfo, TRUE);
+  const bool is_420 =
+      cinfo.num_components == 3 && cinfo.jpeg_color_space == JCS_YCbCr &&
+      cinfo.comp_info[0].h_samp_factor == 2 &&
+      cinfo.comp_info[0].v_samp_factor == 2 &&
+      cinfo.comp_info[1].h_samp_factor == 1 &&
+      cinfo.comp_info[1].v_samp_factor == 1 &&
+      cinfo.comp_info[2].h_samp_factor == 1 &&
+      cinfo.comp_info[2].v_samp_factor == 1;
+  if (!is_420 || static_cast<int>(cinfo.image_width) != out_w ||
+      static_cast<int>(cinfo.image_height) != out_h) {
+    jpeg_destroy_decompress(&cinfo);
+    return -3;
+  }
+  cinfo.raw_data_out = TRUE;
+  jpeg_start_decompress(&cinfo);
+
+  const int w = out_w, h = out_h;
+  const int cw = w / 2, ch = h / 2;
+  uint8_t* y_plane = out;
+  uint8_t* cb_plane = out + static_cast<size_t>(h) * w;
+  uint8_t* cr_plane = cb_plane + static_cast<size_t>(ch) * cw;
+
+  // jpeg_read_raw_data consumes one iMCU row per call: 16 luma rows + 8
+  // chroma rows, each row padded to a DCT-block multiple. When (h, w) are
+  // 16-aligned (the FreiHAND 224 steady state) every row pointer can aim
+  // straight into `out`; otherwise the edge rows/cols go through a small
+  // padded staging strip and get crop-copied.
+  const bool aligned = (h % 16 == 0) && (w % 16 == 0);
+  const int ypad_w = cinfo.comp_info[0].width_in_blocks * DCTSIZE;
+  const int cpad_w = cinfo.comp_info[1].width_in_blocks * DCTSIZE;
+  std::vector<uint8_t> stage;
+  if (!aligned) stage.resize(static_cast<size_t>(16) * ypad_w +
+                             2 * static_cast<size_t>(8) * cpad_w);
+  uint8_t* sy = stage.data();
+  uint8_t* scb = sy + static_cast<size_t>(16) * ypad_w;
+  uint8_t* scr = scb + static_cast<size_t>(8) * cpad_w;
+
+  JSAMPROW yrows[16], cbrows[8], crrows[8];
+  JSAMPARRAY planes[3] = {yrows, cbrows, crrows};
+  while (cinfo.output_scanline < cinfo.output_height) {
+    const int base = static_cast<int>(cinfo.output_scanline);
+    if (aligned) {
+      for (int r = 0; r < 16; ++r)
+        yrows[r] = y_plane + static_cast<size_t>(base + r) * w;
+      for (int r = 0; r < 8; ++r) {
+        cbrows[r] = cb_plane + static_cast<size_t>(base / 2 + r) * cw;
+        crrows[r] = cr_plane + static_cast<size_t>(base / 2 + r) * cw;
+      }
+      jpeg_read_raw_data(&cinfo, planes, 16);
+    } else {
+      for (int r = 0; r < 16; ++r) yrows[r] = sy + static_cast<size_t>(r) * ypad_w;
+      for (int r = 0; r < 8; ++r) {
+        cbrows[r] = scb + static_cast<size_t>(r) * cpad_w;
+        crrows[r] = scr + static_cast<size_t>(r) * cpad_w;
+      }
+      jpeg_read_raw_data(&cinfo, planes, 16);
+      const int ny = h - base < 16 ? h - base : 16;
+      for (int r = 0; r < ny; ++r)
+        std::memcpy(y_plane + static_cast<size_t>(base + r) * w,
+                    sy + static_cast<size_t>(r) * ypad_w, w);
+      const int nc = ch - base / 2 < 8 ? ch - base / 2 : 8;
+      for (int r = 0; r < nc; ++r) {
+        std::memcpy(cb_plane + static_cast<size_t>(base / 2 + r) * cw,
+                    scb + static_cast<size_t>(r) * cpad_w, cw);
+        std::memcpy(cr_plane + static_cast<size_t>(base / 2 + r) * cw,
+                    scr + static_cast<size_t>(r) * cpad_w, cw);
+      }
+    }
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
 class ThreadPool {
  public:
   explicit ThreadPool(int n) : stop_(false) {
@@ -189,13 +306,13 @@ class ThreadPool {
 };
 
 struct Loader {
-  explicit Loader(int threads, int h, int w, int batch)
-      : pool(threads), height(h), width(w), batch(batch),
-        buffer(static_cast<size_t>(batch) * h * w * 3),
+  explicit Loader(int threads, int h, int w, int batch, int yuv420 = 0)
+      : pool(threads), height(h), width(w), batch(batch), yuv420(yuv420),
+        buffer(static_cast<size_t>(batch) * h * w * (yuv420 ? 3 : 6) / 2),
         pending(0), errors(0), in_flight(false) {}
 
   ThreadPool pool;
-  int height, width, batch;
+  int height, width, batch, yuv420;
   std::vector<uint8_t> buffer;   // staging buffer for the in-flight batch
   std::atomic<int> pending;
   std::atomic<int> errors;
@@ -215,10 +332,26 @@ Loader* hipe_loader_create(int num_threads, int height, int width,
   return new Loader(num_threads, height, width, batch);
 }
 
+// Like hipe_loader_create but decoding to planar YUV 4:2:0 batches
+// ((batch, h*w*3/2) uint8: Y plane, Cb plane, Cr plane per image). Every
+// file must be a (h, w) 4:2:0 JPEG — mismatches count as decode errors.
+Loader* hipe_loader_create_yuv420(int num_threads, int height, int width,
+                                  int batch) {
+  if (num_threads <= 0 || height <= 0 || width <= 0 || batch <= 0 ||
+      height % 2 || width % 2)
+    return nullptr;
+  return new Loader(num_threads, height, width, batch, /*yuv420=*/1);
+}
+
 void hipe_loader_destroy(Loader* l) { delete l; }
 
 int hipe_decode_jpeg(const char* path, uint8_t* out, int height, int width) {
   return decode_jpeg_file(path, out, height, width);
+}
+
+int hipe_decode_jpeg_yuv420(const char* path, uint8_t* out, int height,
+                            int width) {
+  return decode_jpeg_file_yuv420(path, out, height, width);
 }
 
 // Start decoding a batch of image files into the staging buffer. `paths` is
@@ -233,13 +366,17 @@ int hipe_loader_submit(Loader* l, const char** paths, int n) {
   }
   l->pending.store(n);
   l->errors.store(0);
-  const size_t stride = static_cast<size_t>(l->height) * l->width * 3;
+  const size_t stride =
+      static_cast<size_t>(l->height) * l->width * (l->yuv420 ? 3 : 6) / 2;
   for (int i = 0; i < n; ++i) {
     std::string p(paths[i]);
     uint8_t* dst = l->buffer.data() + i * stride;
     l->pool.submit([l, p, dst] {
-      if (decode_jpeg_file(p.c_str(), dst, l->height, l->width) != 0)
-        l->errors.fetch_add(1);
+      const int rc =
+          l->yuv420 ? decode_jpeg_file_yuv420(p.c_str(), dst, l->height,
+                                              l->width)
+                    : decode_jpeg_file(p.c_str(), dst, l->height, l->width);
+      if (rc != 0) l->errors.fetch_add(1);
       if (l->pending.fetch_sub(1) == 1) {
         std::lock_guard<std::mutex> lk(l->mu);
         l->done_cv.notify_all();

@@ -221,3 +221,30 @@ def test_detector_scale_knob_is_nondefault_shape(tmp_path, monkeypatch,
     assert not mod._is_default_shape(
         mod._parse_args(["--serving-batch", "16"]))
     assert mod._is_default_shape(mod._parse_args([]))
+
+
+def test_raw_cmd_forwards_every_knob():
+    """args -> _raw_cmd -> re-parse must be a fixpoint for EVERY knob.
+
+    Regression for the round-5 `--split` hole: the non-raw parent built the
+    subprocess argv by hand and a missing flag silently measured the
+    DEFAULT shape while the caller believed the knob was applied."""
+    mod = _load_bench_module()
+    knobs = ["--batch", "64", "--rotation-mode", "composed",
+             "--teacher-batch", "4", "--teacher-dtype", "int8",
+             "--teacher-cascade", "5", "--proposals", "64",
+             "--detector-scale", "224", "--detector-resnet", "18",
+             "--detector-dtype", "bfloat16", "--split", "--monolith",
+             "--int8", "--serving-batch", "16", "--sustained-images", "512",
+             "--loader-threads", "2", "--yuv420"]
+    for argv in ([], knobs):
+        args = mod._parse_args(argv)
+        cmd = mod._raw_cmd(7, args)
+        re_args = mod._parse_args(cmd[2:])   # strip interpreter + script
+        assert re_args.raw and re_args.config == [7]
+        for k, v in vars(args).items():
+            if k in ("config", "all", "raw", "cpu_baseline"):
+                continue
+            assert getattr(re_args, k) == v, (
+                "_raw_cmd drops %s (got %r, want %r)"
+                % (k, getattr(re_args, k), v))
