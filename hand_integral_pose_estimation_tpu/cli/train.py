@@ -88,6 +88,12 @@ def build_argparser():
     p.add_argument("--training-size", type=int, default=None,
                    help="override cfg.train.training_size (partial "
                         "downloads / mini fixtures)")
+    p.add_argument("--yuv-transport", action="store_true",
+                   help="ship batches to the device as the JPEG's own "
+                        "subsampled 4:2:0 planes (half the H2D bytes) and "
+                        "finish the decode inside the jitted step — "
+                        "bitwise-identical pixels (ops/yuv.py); requires "
+                        "file-backed 4:2:0 JPEGs at the model input size")
     return p
 
 
@@ -218,7 +224,8 @@ def main(argv=None):
                       test_dataset=test_dataset,
                       imagenet_init=args.imagenet_init,
                       mesh=mesh, model_parallelism=model_par,
-                      auto_mesh=auto_mesh)
+                      auto_mesh=auto_mesh,
+                      yuv_transport=args.yuv_transport)
     trainer.fit(end_epoch=args.epochs,
                 steps_per_epoch=args.steps_per_epoch)
 

@@ -61,6 +61,13 @@ class Trainer:
     #: only takes effect for file-backed datasets (default ON — the input
     #: pipeline was the reference's bottleneck, SURVEY.md §5)
     native_prefetch: bool = True
+    #: ship decoded batches to the device as the JPEG's own subsampled
+    #: 4:2:0 planes (1.5 B/px instead of 3) and finish the decode inside
+    #: the jitted step (ops/yuv.py — BITWISE equal pixels, so the loss
+    #: trajectory is identical to the RGB path; tests/test_yuv.py). Wins
+    #: whenever host->device bandwidth is the input bound; requires
+    #: native_prefetch, a file-backed dataset, and (H, W) 4:2:0 JPEGs.
+    yuv_transport: bool = False
     metrics_dir: Optional[str] = None
     #: write a jax.profiler trace of the first few steps of the first epoch
     profile_dir: Optional[str] = None
@@ -202,7 +209,12 @@ class Trainer:
                 NativeLoader,
             )
             hw = self.cfg.model.input_shape
-            self._loader = NativeLoader(self._local_batch, hw[0], hw[1])
+            self._loader = NativeLoader(
+                self._local_batch, hw[0], hw[1],
+                layout="yuv420" if self.yuv_transport else "rgb")
+        elif self.yuv_transport:
+            raise ValueError("yuv_transport needs native_prefetch and a "
+                             "file-backed dataset (records)")
         self.read_timer = Timer()
         self.step_timer = Timer()
         self.total_timer = Timer()
@@ -210,9 +222,18 @@ class Trainer:
     def _make_preprocess(self):
         acfg = self.cfg.augment
         hw = self.cfg.model.input_shape
+        yuv = self.yuv_transport
 
         def fn(rng, image, joint_cam, K, labelled, ref_bone_len,
                bbox_detector=None, teacher_cam_normalized=None):
+            if yuv:
+                # packed 4:2:0 planes off the loader: finish the decode
+                # on-device (bitwise libjpeg-equal, ops/yuv.py) — fused by
+                # XLA into the same program as the augmentation warp
+                from hand_integral_pose_estimation_tpu.ops.yuv import (
+                    yuv420_to_rgb,
+                )
+                image = yuv420_to_rgb(image, hw[0], hw[1])
             return pipeline.make_train_batch(
                 rng, image, joint_cam, K, bbox_detector, labelled,
                 teacher_cam_normalized, ref_bone_len, acfg, hw)

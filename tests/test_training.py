@@ -644,6 +644,59 @@ class TestNativePrefetchTrainer:
         if t._loader is not None:
             assert t._loader.available or True  # cv2 fallback also exercised
 
+    def test_yuv_transport_matches_rgb_bitwise(self, tmp_path):
+        """yuv_transport ships half the bytes but the SAME pixels: the loss
+        trajectory must equal the RGB path bitwise (ops/yuv.py finishes the
+        decode on-device, bitwise libjpeg-equal — tests/test_yuv.py)."""
+        import cv2
+        from hand_integral_pose_estimation_tpu.data.freihand import (
+            FreiHandDataset, SampleRecord,
+        )
+        from hand_integral_pose_estimation_tpu.data.native_loader import (
+            load_library,
+        )
+        if load_library() is None:
+            pytest.skip("native loader unavailable")
+        rng = np.random.RandomState(1)
+        recs = []
+        K = np.array([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1.0]])
+        for i in range(8):
+            img = rng.randint(0, 255, (64, 64, 3)).astype(np.uint8)
+            img = cv2.GaussianBlur(img, (5, 5), 1.0)
+            p = str(tmp_path / f"{i:08d}.jpg")
+            cv2.imwrite(p, img)
+            recs.append(SampleRecord(
+                img_path=p, K=K,
+                joint_cam=np.array([0, 0, 0.45])
+                + rng.uniform(-0.03, 0.03, (21, 3)),
+                ref_bone_len=1.0, labelled=True, version="gs", idx=i))
+
+        def fit_losses(yuv):
+            ds = FreiHandDataset.__new__(FreiHandDataset)
+            ds.cfg = small_config()
+            ds.records = recs
+            ds.num_labelled = 8
+            ds.num_unlabelled = 0
+            ds.joint_num = 21
+            t = Trainer(cfg=small_config(), dataset=ds,
+                        model_dir=tempfile.mkdtemp(), integral_impl="xla",
+                        native_prefetch=True, yuv_transport=yuv, seed=3)
+            if not t._loader.available:
+                pytest.skip("native loader unavailable")
+            return [t.run_epoch(0, num_steps=2, log_every=100)["loss"]
+                    for _ in range(1)]
+
+        assert fit_losses(True) == fit_losses(False)
+
+    def test_yuv_transport_without_prefetch_rejected(self):
+        from hand_integral_pose_estimation_tpu.data.freihand import (
+            SyntheticFreiHand,
+        )
+        with pytest.raises(ValueError, match="yuv_transport"):
+            Trainer(cfg=small_config(), dataset=SyntheticFreiHand(n=4),
+                    model_dir=tempfile.mkdtemp(), integral_impl="xla",
+                    native_prefetch=True, yuv_transport=True)
+
 
 class TestSplitQuirks:
     def test_testing_split_range_off_by_one(self):
