@@ -20,3 +20,8 @@ from hand_integral_pose_estimation_tpu.ops.roi_align import (  # noqa: F401
     roi_align,
     roi_pool,
 )
+from hand_integral_pose_estimation_tpu.ops.yuv import (  # noqa: F401
+    upsample_h2v2_fancy,
+    ycc_to_rgb,
+    yuv420_to_rgb,
+)

@@ -436,6 +436,16 @@ class Tester:
     state: TrainState
     integral_impl: str = "auto"
     mesh: Optional[object] = None
+    #: decode the sweep's JPEG batches through the C++ prefetch loader with
+    #: submit-ahead double buffering (decode overlaps the device step) —
+    #: without it a real file-backed split is READ-bound (~1.5k img/s host
+    #: decode vs ~9k img/s device rate). Only engages for file-backed
+    #: datasets (records) whose frames are already at the model input size.
+    native_prefetch: bool = True
+    #: ship batches as packed 4:2:0 planes and finish the decode on-device
+    #: (bitwise-equal pixels, ops/yuv.py) — halves H2D bytes and host
+    #: decode work; requires native_prefetch + (H, W) 4:2:0 JPEGs.
+    yuv_transport: bool = False
 
     def __post_init__(self):
         self.model = get_pose_net(self.cfg.model)
@@ -443,10 +453,21 @@ class Tester:
                                         self.integral_impl)
         acfg = self.cfg.augment
         hw = self.cfg.model.input_shape
+        if self.yuv_transport and not self.native_prefetch:
+            raise ValueError("yuv_transport needs native_prefetch")
+
+        def _maybe_decode(image):
+            if self.yuv_transport:
+                from hand_integral_pose_estimation_tpu.ops.yuv import (
+                    yuv420_to_rgb,
+                )
+                return yuv420_to_rgb(image, hw[0], hw[1])
+            return image
+
         self._preprocess = jax.jit(
             lambda image, joint_cam, K, ref_bone_len, bbox=None:
-            pipeline.make_eval_batch(image, joint_cam, K, bbox,
-                                     ref_bone_len, acfg, hw))
+            pipeline.make_eval_batch(_maybe_decode(image), joint_cam, K,
+                                     bbox, ref_bone_len, acfg, hw))
         self._sharded_eval = None
         if self.mesh is not None:
             if "data" not in self.mesh.axis_names:
@@ -460,7 +481,8 @@ class Tester:
 
             def body(state, image, joint_cam, K, ref_bone_len, bbox):
                 batch = pipeline.make_eval_batch(
-                    image, joint_cam, K, bbox, ref_bone_len, acfg, hw)
+                    _maybe_decode(image), joint_cam, K, bbox, ref_bone_len,
+                    acfg, hw)
                 coords, _ = eval_fn(state, batch)
                 return coords, batch._replace(image=None)
 
@@ -499,8 +521,7 @@ class Tester:
                     f"cfg.train.test_batch_size accordingly)")
         n = len(self.dataset)
         coords_all, batches = [], []
-        for idx in padded_batches(n, bs):
-            host = self.dataset.host_batch(idx)
+        for host in self._host_batches(list(padded_batches(n, bs)), bs):
             if self._sharded_eval is not None:
                 coords, batch = self._sharded_eval(
                     self.state, host["image"], host["joint_cam"],
@@ -517,6 +538,45 @@ class Tester:
         merged = jax.tree_util.tree_map(
             lambda *xs: np.concatenate(xs)[:n], *batches)
         return coords, merged
+
+    def _host_batches(self, idxs, bs):
+        """Yield host batch dicts for each index block.
+
+        File-backed datasets go through the C++ loader with SUBMIT-AHEAD
+        double buffering: batch i+1's JPEG decode runs on the pool while the
+        device evaluates batch i (the Trainer's read/step overlap, applied
+        to the sweep — the reference's eval DataLoader workers played this
+        role, common/base.py:179-284). Everything else (synthetic /
+        in-memory datasets) takes the plain host_batch path."""
+        recs_all = getattr(self.dataset, "records", None)
+        if not (self.native_prefetch and recs_all is not None
+                and len(idxs) > 0):
+            if self.yuv_transport:
+                raise ValueError("yuv_transport needs a file-backed "
+                                 "dataset (records)")
+            for idx in idxs:
+                yield self.dataset.host_batch(idx)
+            return
+        from hand_integral_pose_estimation_tpu.data.freihand import (
+            stack_host_batch,
+        )
+        from hand_integral_pose_estimation_tpu.data.native_loader import (
+            NativeLoader,
+        )
+        hw = self.cfg.model.input_shape
+        loader = NativeLoader(
+            bs, hw[0], hw[1],
+            layout="yuv420" if self.yuv_transport else "rgb")
+
+        def recs_of(idx):
+            return [recs_all[i] for i in idx]
+
+        loader.submit([r.img_path for r in recs_of(idxs[0])])
+        for i, idx in enumerate(idxs):
+            images = loader.wait()
+            if i + 1 < len(idxs):
+                loader.submit([r.img_path for r in recs_of(idxs[i + 1])])
+            yield stack_host_batch(recs_of(idx), list(images))
 
     def mean_loss(self, batch_size: Optional[int] = None) -> float:
         """Per-sample-averaged JointLocationLoss over the whole split (the

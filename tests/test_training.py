@@ -380,6 +380,26 @@ class TestMultihostMesh:
             assert np.isfinite(float(metrics["loss"]))
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _patched_read_image(ds, size):
+    """host_batch's read_image decodes at the FreiHAND-native 224 default;
+    test fixtures use smaller frames, so pin the sequential path to the
+    fixture size for a pixel-comparable truth."""
+    from hand_integral_pose_estimation_tpu.data.native_loader import (
+        decode_jpeg,
+    )
+    cls = type(ds)
+    orig = cls.read_image
+    cls.read_image = lambda self, rec: decode_jpeg(rec.img_path, size, size)
+    try:
+        yield
+    finally:
+        cls.read_image = orig
+
+
 @pytest.mark.slow
 class TestTester:
     def test_tail_batch_not_dropped(self):
@@ -404,6 +424,66 @@ class TestTester:
         # padding must not change the metric: exact batch size, same answer
         loss_exact = tester.mean_loss(batch_size=5)
         np.testing.assert_allclose(loss, loss_exact, rtol=1e-5)
+
+    def test_prefetch_and_yuv_sweep_match_sequential_bitwise(self, tmp_path):
+        """File-backed sweeps ride the double-buffered C++ loader (and
+        optionally YUV 4:2:0 transport): both must reproduce the sequential
+        host_batch sweep COORDINATE-bitwise — same libjpeg pixels, same
+        programs. The reference's eval DataLoader workers played the overlap
+        role (common/base.py:179-284); this pins our equivalent to the
+        no-prefetch truth."""
+        import cv2
+        from hand_integral_pose_estimation_tpu.data.freihand import (
+            FreiHandDataset, SampleRecord,
+        )
+        from hand_integral_pose_estimation_tpu.data.native_loader import (
+            load_library,
+        )
+        from hand_integral_pose_estimation_tpu.training import Tester
+        if load_library() is None:
+            pytest.skip("native loader unavailable")
+        # frames at the model input size (the FreiHAND-native contract the
+        # loader paths assume: 224 there, 64 here)
+        cfg = small_config()
+        rng = np.random.RandomState(11)
+        recs = []
+        K = np.array([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1.0]])
+        for i in range(6):
+            img = cv2.GaussianBlur(
+                rng.randint(0, 255, (64, 64, 3)).astype(np.uint8),
+                (5, 5), 1.0)
+            p = str(tmp_path / f"{i:08d}.jpg")
+            cv2.imwrite(p, img)
+            recs.append(SampleRecord(
+                img_path=p, K=K,
+                joint_cam=np.array([0, 0, 0.45])
+                + rng.uniform(-0.03, 0.03, (21, 3)),
+                ref_bone_len=1.0, labelled=True, version="gs", idx=i))
+        ds = FreiHandDataset.__new__(FreiHandDataset)
+        ds.cfg = cfg
+        ds.records = recs
+        ds.num_labelled = 6
+        ds.num_unlabelled = 0
+        ds.joint_num = 21
+        t = Trainer(cfg=cfg, dataset=ds, model_dir=tempfile.mkdtemp(),
+                    integral_impl="xla", native_prefetch=False)
+
+        # sequential truth: host_batch decodes one image at a time, BUT at
+        # the loader's frame size so the pixels are comparable
+        seq = Tester(cfg, ds, t.state, integral_impl="xla",
+                     native_prefetch=False)
+        with _patched_read_image(ds, 64):
+            c_seq, m_seq = seq.run(batch_size=4)
+
+        pre = Tester(cfg, ds, t.state, integral_impl="xla")
+        c_pre, m_pre = pre.run(batch_size=4)
+        np.testing.assert_array_equal(c_pre, c_seq)
+        np.testing.assert_array_equal(m_pre.label, m_seq.label)
+
+        yuv = Tester(cfg, ds, t.state, integral_impl="xla",
+                     yuv_transport=True)
+        c_yuv, _ = yuv.run(batch_size=4)
+        np.testing.assert_array_equal(c_yuv, c_seq)
 
     def test_split_scale_sweep_bounded_memory(self):
         """A multi-batch sweep must not retain the image patches: the real
